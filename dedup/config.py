@@ -1,0 +1,63 @@
+"""Frozen shingle/signature configuration.
+
+Every knob that affects *which pairs are duplicates* lives here, and BOTH the
+Spark pipeline and the brute-force numpy oracle (reference_impl.py) derive from
+it — this is how the recall >= 0.99 gate stays meaningful (SURVEY.md §7 "hard
+parts (a)"; BASELINE.json: "identical shingle/signature configuration
+(k-shingles, 128 permutations, band/row split)").
+
+Reference semantics being matched (see SURVEY.md §2.10):
+  - exact dup pass        -> /root/reference/eridu/etl/filter.py:51-57
+  - pairwise fuzzy match  -> /root/reference/eridu/train/utils.py:153-235
+  - noise -> singletons   -> /root/reference/Clusters.md:51-55
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- caption shingling (character k-grams, lowercased) ---
+    shingle_k: int = 5
+    # --- MinHash ---
+    num_perms: int = 128
+    minhash_prime: int = (1 << 31) - 1  # Mersenne prime; universal hash (a*x+b) % p
+    minhash_seed: int = 31337           # seed for the (a_i, b_i) permutation params
+    # --- LSH banding: bands * rows == num_perms ---
+    # s-curve threshold (1/b)^(1/r) ~= 0.42; P(candidate | J=0.7) ~= 0.9998
+    lsh_bands: int = 32
+    lsh_rows: int = 4
+    # --- duplicate decision thresholds ---
+    jaccard_threshold: float = 0.7      # exact shingle Jaccard on verified candidates
+    hamming_threshold: int = 6          # pHash Hamming distance (64-bit)
+    # --- pHash banding: 8 chunks x 8 bits; pigeonhole guarantees recall 1.0
+    # for Hamming <= 6 < 8 chunks (at least one chunk byte is untouched) ---
+    phash_chunks: int = 8
+    # --- substring (caption-fragment) pass: winnowing fingerprints ---
+    # guarantee: any common substring of length >= winnow_w + winnow_k - 1 = 20
+    # shares at least one selected fingerprint (Schleimer et al., SIGMOD'03)
+    substr_min_len: int = 20
+    winnow_k: int = 8
+    winnow_w: int = 13
+    # --- skew handling ---
+    # LSH buckets larger than this are counted in skew stats; candidate pair
+    # generation within a bucket is capped at bucket_cap choose 2 only when
+    # hard_cap is True (default False: never trade recall silently).
+    bucket_cap: int = 4096
+    hard_cap: bool = False
+    # --- fidelity gate ---
+    psnr_min_db: float = 40.0
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — stage manifests store it so resume can
+        tell whether cached stage output is still valid (SURVEY.md §4.2)."""
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+DEFAULT = DedupConfig()

@@ -1,0 +1,190 @@
+"""Pure-numpy image codecs + perceptual hashing (no PIL in this sandbox).
+
+Formats (the `fmt` column of the images table, BASELINE.json:input_hint):
+  - "raw": C-order uint8 dump of an (h, w, 3) RGB array.
+  - "png": minimal valid PNG (8-bit RGB, non-interlaced) written with stdlib
+    zlib/struct. Encoder emits filter type 0; decoder handles filters 0-4 so
+    externally produced PNGs of this color type also decode.
+
+Both codecs are lossless, so the per-row fidelity invariant (decoded-pixel
+allclose; PSNR >= 40 dB reserved for lossy formats, BASELINE.json:input_hint)
+is exact here. psnr() exists for the lossy branch, exercised in tests with
+synthetic noise.
+
+pHash: classic 8x8-DCT perceptual hash — grayscale, area-resample to 32x32,
+2-D DCT-II, take the top-left 8x8 block minus the DC term, threshold at the
+median -> 64-bit int. Role of the reference's dense embedding similarity
+(/root/reference/eridu/train/utils.py:153-235) on the image side.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- raw codec
+
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    return pixels.tobytes(order="C")
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------- png codec
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    # scanlines with filter byte 0
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(w * 3, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:  # 1 Sub, 3 Average, 4 Paeth need left-to-right recurrence
+            rec = np.zeros(w * 3, np.int32)
+            for x in range(w * 3):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+# ------------------------------------------------------------ decode switch
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "png":
+        return decode_png(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+# ------------------------------------------------------------------- pHash
+
+_PHASH_N = 32  # resample size before DCT
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * np.outer(k, 2 * k + 1) / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(_PHASH_N)
+
+
+def _to_gray(pixels: np.ndarray) -> np.ndarray:
+    p = pixels.astype(np.float64)
+    return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+
+
+def _area_resize(gray: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic area-style resample to n x n via index binning."""
+    h, w = gray.shape
+    yi = (np.arange(h) * n) // h
+    xi = (np.arange(w) * n) // w
+    out = np.zeros((n, n), dtype=np.float64)
+    cnt = np.zeros((n, n), dtype=np.float64)
+    np.add.at(out, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    return out / np.maximum(cnt, 1.0)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash; returns a Python int in [0, 2^64)."""
+    g = _area_resize(_to_gray(pixels), _PHASH_N)
+    d = _DCT32 @ g @ _DCT32.T
+    block = d[:8, :8].flatten()
+    coeffs = block[1:]  # drop DC
+    med = np.median(coeffs)
+    bits = block > med
+    bits[0] = False  # DC bit fixed so hash has exactly 63 data bits
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val
+
+
+def phash_to_signed64(v: int) -> int:
+    """Map unsigned 64-bit to Spark/parquet signed int64 (two's complement)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

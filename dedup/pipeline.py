@@ -1,0 +1,183 @@
+"""Stage orchestration: images table -> pairs + assignments + metrics.
+
+Stage graph (SURVEY.md §3.4), each stage a pure DataFrame transform committed
+to the warehouse with a manifest (resume = skip stages whose manifest matches
+the config hash — BASELINE.json "resumes mid-band"):
+
+  reps            exact-dup collapse: identical (sha2(bytes), caption) /
+                  identical caption / identical phash -> representative ids +
+                  member->rep edges. This is the skew kill-switch: the viral
+                  family (one caption on 5% of rows) collapses to ONE node
+                  before any quadratic band bucket can form.
+  signatures      unique captions -> shingles + 128-perm MinHash (Arrow UDFs)
+  cand_minhash    LSH band self-join -> candidate caption pairs (+ skew stats)
+  edges_minhash   exact-Jaccard verify (JVM array_intersect)
+  edges_simhash   pHash chunk LSH + exact Hamming verify (JVM bit_count)
+  edges_substring winnowing + per-bucket suffix-array pass (applyInPandas)
+  pairs           all verified pairs (FIXTURES.md F2 shape)
+  assignments     large-star/small-star connected components (FIXTURES.md F3)
+  metrics         per-cluster size/score rollup
+                  (role of /root/reference/eridu/etl/analyze.py:144-157)
+
+Exact-dup semantics follow /root/reference/eridu/etl/filter.py:51-57; the
+fuzzy paths replace /root/reference/eridu/train/utils.py:153-235."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import lsh, verify
+from .components import connected_components
+from .config import DedupConfig, DEFAULT
+from .io import Warehouse
+
+STAGES = [
+    "reps",
+    "signatures",
+    "cand_minhash",
+    "edges_minhash",
+    "edges_simhash",
+    "edges_substring",
+    "pairs",
+    "assignments",
+    "metrics",
+]
+
+
+def _collapse(images: DataFrame, key, kind: str, score) -> tuple[DataFrame, DataFrame]:
+    """Group rows by `key`; rep = min(image_id). Returns (rep table, member edges)."""
+    groups = images.groupBy(key.alias("k")).agg(
+        F.min("image_id").alias("rep_id"), F.count("*").alias("n")
+    )
+    members = images.select(key.alias("k"), "image_id").join(groups, "k")
+    edges = (
+        members.where(F.col("image_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col("image_id").alias("id_b"),
+            F.lit(kind).alias("match_type"),
+            F.lit(score).cast("double").alias("score"),
+        )
+    )
+    return groups, edges
+
+
+class Pipeline:
+    def __init__(self, warehouse_root: str, cfg: DedupConfig = DEFAULT, run_id: str = "run0"):
+        self.cfg = cfg
+        self.wh = Warehouse(warehouse_root, cfg.config_hash(), run_id)
+
+    # -- stage runner with resume skip ------------------------------------
+    def _stage(self, spark: SparkSession, name: str, build, **man_kw) -> DataFrame:
+        if self.wh.is_complete(name):
+            return self.wh.read(spark, name)
+        t0 = time.time()
+        out = build()
+        df, extra = out if isinstance(out, tuple) else (out, None)
+        self.wh.write(df, name, wall_ms=int((time.time() - t0) * 1000), extra=extra, **man_kw)
+        return self.wh.read(spark, name)
+
+    def run(self, spark: SparkSession, images: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        # ---- stage: reps (exact collapse; 3 independent groupings) ------
+        def build_reps() -> DataFrame:
+            _, e_bytes = _collapse(
+                images, F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption")),
+                "exact", 1.0,
+            )
+            _, e_cap = _collapse(images, F.col("caption"), "minhash", 1.0)
+            _, e_ph = _collapse(images, F.col("phash").cast("string"), "simhash", 1.0)
+            return e_bytes.unionByName(e_cap).unionByName(e_ph).distinct()
+
+        member_edges = self._stage(spark, "reps", build_reps)
+
+        # ---- stage: signatures over UNIQUE captions ----------------------
+        def build_sigs() -> DataFrame:
+            uniq = images.groupBy("caption").agg(F.min("image_id").alias("rep_id"))
+            return lsh.with_shingles(lsh.with_minhash(uniq, "caption", cfg), "caption", cfg)
+
+        sigs = self._stage(spark, "signatures", build_sigs)
+
+        # ---- stage: minhash candidates + skew stats ----------------------
+        def build_cand():
+            pairs, skew = lsh.minhash_candidates(sigs, "rep_id", cfg)
+            stats = {
+                k: (float(v) if v is not None else None)
+                for k, v in skew.collect()[0].asDict().items()
+            }
+            return pairs, {"skew": stats}
+
+        cand = self._stage(spark, "cand_minhash", build_cand)
+
+        # ---- stage: verified minhash edges -------------------------------
+        edges_mh = self._stage(
+            spark, "edges_minhash",
+            lambda: verify.verify_jaccard(cand, sigs, "rep_id", cfg),
+            band_lo=0, band_hi=cfg.lsh_bands - 1,
+        )
+
+        # ---- stage: simhash (pHash) edges --------------------------------
+        def build_simhash() -> DataFrame:
+            uniq_ph = images.groupBy("phash").agg(F.min("image_id").alias("rep_id"))
+            cand_ph = lsh.phash_candidates(uniq_ph, "rep_id", "phash", cfg)
+            return verify.verify_hamming(cand_ph, uniq_ph, "rep_id", "phash", cfg)
+
+        edges_sh = self._stage(spark, "edges_simhash", build_simhash)
+
+        # ---- stage: substring edges ---------------------------------------
+        edges_ss = self._stage(
+            spark, "edges_substring",
+            lambda: verify.substring_edges(
+                sigs.select("rep_id", "caption"), "rep_id", "caption", cfg
+            ),
+        )
+
+        # ---- stage: pairs --------------------------------------------------
+        def build_pairs() -> DataFrame:
+            rep_edges = edges_mh.unionByName(edges_sh).unionByName(edges_ss)
+            return (
+                member_edges.unionByName(rep_edges)
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "match_type",
+                    "score",
+                )
+                .dropDuplicates(["id_a", "id_b", "match_type"])
+            )
+
+        pairs = self._stage(spark, "pairs", build_pairs)
+
+        # ---- stage: assignments (CC) ---------------------------------------
+        assignments = self._stage(
+            spark, "assignments",
+            lambda: connected_components(
+                pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                images.select("image_id"),
+            ),
+        )
+
+        # ---- stage: per-cluster metrics ------------------------------------
+        def build_metrics() -> DataFrame:
+            pa = pairs.join(
+                assignments.withColumnsRenamed({"image_id": "id_a", "cluster_id": "cluster_id"}),
+                "id_a",
+            )
+            per_pair = pa.groupBy("cluster_id").agg(
+                F.avg("score").alias("avg_score"),
+                F.min("score").alias("min_score"),
+                F.sum(F.when(F.col("match_type") == "exact", 1).otherwise(0)).alias("n_exact"),
+                F.sum(F.when(F.col("match_type") == "minhash", 1).otherwise(0)).alias("n_minhash"),
+                F.sum(F.when(F.col("match_type") == "simhash", 1).otherwise(0)).alias("n_simhash"),
+                F.sum(F.when(F.col("match_type") == "substring", 1).otherwise(0)).alias("n_substring"),
+            )
+            sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
+            return sizes.join(per_pair, "cluster_id", "left").na.fill(
+                {"n_exact": 0, "n_minhash": 0, "n_simhash": 0, "n_substring": 0}
+            )
+
+        self._stage(spark, "metrics", build_metrics)
+        return assignments
