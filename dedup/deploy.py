@@ -1,0 +1,40 @@
+"""Ship the `dedup` package to Spark Python workers.
+
+Production launch is `spark-submit --py-files dist.zip` (SURVEY.md §3.4); when
+the engine is driven from an existing SparkSession (driver contract, tests,
+notebooks) we replicate that with `sc.addPyFile` on a zip built from the
+installed package — otherwise executors' Python workers raise
+ModuleNotFoundError when unpickling the pandas UDFs."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def package_zip() -> str:
+    """Build (once per process) a zip of the dedup package."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "dedup_pkg.zip")
+    if not os.path.exists(out):
+        tmp = out + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for fn in sorted(os.listdir(pkg_dir)):
+                if fn.endswith(".py"):
+                    z.write(os.path.join(pkg_dir, fn), arcname=f"dedup/{fn}")
+        os.replace(tmp, out)
+    return out
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    sc.addPyFile(package_zip())
+    _SHIPPED.add(key)

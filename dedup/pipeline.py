@@ -80,6 +80,9 @@ class Pipeline:
         return self.wh.read(spark, name)
 
     def run(self, spark: SparkSession, images: DataFrame) -> DataFrame:
+        from .deploy import ensure_shipped
+
+        ensure_shipped(spark)  # pandas UDFs need the package on the workers
         cfg = self.cfg
 
         # ---- stage: reps (exact collapse; 3 independent groupings) ------

@@ -149,7 +149,10 @@ def generate(n: int, seed: int = 42) -> list[dict]:
         elif kind == "near-image-diff":
             b = _row(nid(), _perturb(rng, pixels), fmt, _caption(rng))
         elif kind == "caption-edit":
-            b = _row(nid(), _image(rng), fmt, _edit_caption(rng, caption, int(rng.integers(1, 3))))
+            # heavier edits only on long captions so most pairs land above the
+            # Jaccard threshold (some below, to stress the exact-verify boundary)
+            n_edits = 1 if len(caption) < 90 else int(rng.integers(1, 3))
+            b = _row(nid(), _image(rng), fmt, _edit_caption(rng, caption, n_edits))
         else:  # fragment: B's caption = contiguous >=20-char substring of A's
             c = caption
             if len(c) < 24:

@@ -1,0 +1,65 @@
+"""Connected components vs a pure-python union-find oracle: hand-built graphs
+(chain, star, two components, singleton — SURVEY.md §5) + randomized graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup.components import connected_components
+from dedup.reference_impl import UnionFind
+
+
+def _run(spark, edges: list[tuple[str, str]], vertices: list[str]) -> dict[str, str]:
+    e = spark.createDataFrame(edges or [("x", "x")], "src string, dst string")
+    if not edges:
+        e = e.where("1=0")
+    v = spark.createDataFrame([(x,) for x in vertices], "image_id string")
+    return {r["image_id"]: r["cluster_id"] for r in connected_components(e, v).collect()}
+
+
+def _oracle(edges, vertices):
+    uf = UnionFind()
+    for x in vertices:
+        uf.find(x)
+    for a, b in edges:
+        uf.union(a, b)
+    return {x: uf.find(x) for x in vertices}
+
+
+@pytest.mark.parametrize(
+    "name,edges,vertices",
+    [
+        ("chain", [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], list("abcde")),
+        ("star", [("m", x) for x in "bcdefg"], list("mbcdefg")),
+        ("two", [("a", "b"), ("c", "d")], list("abcdx")),
+        ("singletons", [], list("abc")),
+        ("cycle", [("a", "b"), ("b", "c"), ("c", "a")], list("abc")),
+        ("dup-edges", [("a", "b"), ("b", "a"), ("a", "b")], list("ab")),
+        ("self-loop", [("a", "a"), ("a", "b")], list("ab")),
+    ],
+)
+def test_cc_golden(spark, name, edges, vertices):
+    assert _run(spark, edges, vertices) == _oracle(edges, vertices)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_random_graph(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 200
+    vertices = [f"v{i:04d}" for i in range(n)]
+    m = int(rng.integers(50, 300))
+    edges = [
+        (vertices[int(rng.integers(n))], vertices[int(rng.integers(n))]) for _ in range(m)
+    ]
+    assert _run(spark, edges, vertices) == _oracle(edges, vertices)
+
+
+def test_cc_giant_component(spark):
+    """Path graph of 300 nodes — worst case for naive label propagation;
+    large-star/small-star must converge well under the iteration cap."""
+    n = 300
+    vertices = [f"v{i:04d}" for i in range(n)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(n - 1)]
+    res = _run(spark, edges, vertices)
+    assert set(res.values()) == {"v0000"}

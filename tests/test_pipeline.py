@@ -1,0 +1,137 @@
+"""End-to-end pipeline gates (SURVEY.md §5 test plan):
+
+  - dup-pair recall >= 0.99 vs the brute-force oracle (BASELINE.json) —
+    measured as oracle pairs co-clustered in pipeline assignments;
+  - cluster-assignment equality vs oracle union-find;
+  - per-row fidelity: decoded-pixel equality (lossless fmts) + recomputed
+    pHash equality + caption equality;
+  - resume: kill after stage k -> rerun produces identical assignments;
+  - determinism across parallelism (shuffle-partition counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup import imaging
+from dedup.config import DEFAULT
+from dedup.pipeline import STAGES, Pipeline
+from dedup.reference_impl import oracle_clusters, oracle_pairs
+
+
+@pytest.fixture(scope="module")
+def oracle(synth_rows):
+    pairs = oracle_pairs(synth_rows)
+    return pairs, oracle_clusters(synth_rows, pairs)
+
+
+@pytest.fixture(scope="module")
+def assignments(spark, synth_parquet, tmp_path_factory):
+    images = spark.read.parquet(synth_parquet)
+    wh = str(tmp_path_factory.mktemp("wh"))
+    asg = Pipeline(wh).run(spark, images)
+    return {r["image_id"]: r["cluster_id"] for r in asg.collect()}, wh
+
+
+def test_recall_gate(oracle, assignments):
+    pairs, _ = oracle
+    res, _ = assignments
+    hit = sum(1 for a, b in pairs if res.get(a) == res.get(b))
+    assert len(pairs) > 100
+    assert hit / len(pairs) >= 0.99
+
+
+def test_cluster_assignment_equality(oracle, assignments):
+    _, clusters = oracle
+    res, _ = assignments
+    assert res == clusters
+
+
+def test_singletons_self_rooted(assignments, synth_rows):
+    res, _ = assignments
+    ids = {r["image_id"] for r in synth_rows}
+    assert set(res) == ids
+    # noise -> singleton semantics (Clusters.md:51-55): every cluster id is a row id
+    assert set(res.values()) <= ids
+
+
+def test_per_row_fidelity(synth_rows):
+    """Decoded-pixel exactness for lossless fmts + stored pHash == recomputed
+    (BASELINE.json per-row invariant)."""
+    for r in synth_rows[:50]:
+        px = imaging.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        assert px.shape == (r["h"], r["w"], 3)
+        recomputed = imaging.phash_to_signed64(imaging.phash64(px))
+        assert recomputed == r["phash"]
+        # lossless: roundtrip is exact, PSNR infinite (>= 40dB lossy gate)
+        assert imaging.psnr(px, px) == float("inf")
+
+
+def test_resume_after_kill(spark, synth_parquet, assignments):
+    """Delete manifests from `edges_simhash` onward (killed mid-run); rerun
+    must resume from completed stages and reproduce identical assignments."""
+    res, wh = assignments
+    p = Pipeline(wh)
+    p.wh.invalidate_after("edges_simhash", STAGES)
+    assert not p.wh.is_complete("assignments")
+    assert p.wh.is_complete("signatures")  # earlier stages still valid
+    images = spark.read.parquet(synth_parquet)
+    asg2 = p.run(spark, images)
+    res2 = {r["image_id"]: r["cluster_id"] for r in asg2.collect()}
+    assert res2 == res
+
+
+def test_config_change_invalidates(spark, synth_parquet, tmp_path_factory, assignments):
+    """A different config hash must not reuse stale stage output."""
+    from dataclasses import replace
+
+    res, wh = assignments
+    cfg2 = replace(DEFAULT, hamming_threshold=5)
+    p2 = Pipeline(wh, cfg2)
+    assert not p2.wh.is_complete("signatures")
+
+
+def test_determinism_across_parallelism(spark, synth_parquet, tmp_path_factory, assignments):
+    """Same input, different shuffle-partition count -> identical assignments
+    (min-id roots everywhere; SURVEY.md §4.2 'deterministic cluster ids')."""
+    res, _ = assignments
+    images = spark.read.parquet(synth_parquet).repartition(13)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        asg = Pipeline(str(tmp_path_factory.mktemp("wh2"))).run(spark, images)
+        res2 = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert res2 == res
+
+
+def test_lineage_written(assignments):
+    _, wh = assignments
+    from dedup.io import Warehouse
+
+    lines = Warehouse(wh, "x").lineage()
+    stages = {l["stage"] for l in lines}
+    assert set(STAGES) <= stages
+    for l in lines:
+        assert l["row_count"] >= 0 and l["wall_ms"] >= 0 and l["config_hash"]
+
+
+def test_pairs_table_shape(spark, assignments):
+    _, wh = assignments
+    pairs = spark.read.parquet(f"{wh}/pairs")
+    assert pairs.columns == ["id_a", "id_b", "match_type", "score"]
+    bad = pairs.where(~F.col("match_type").isin("exact", "minhash", "simhash", "substring"))
+    assert bad.count() == 0
+    assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert pairs.where((F.col("score") < 0) | (F.col("score") > 1)).count() == 0
+
+
+def test_skew_stats_in_manifest(assignments):
+    _, wh = assignments
+    from dedup.io import Warehouse
+
+    man = Warehouse(wh, "x").manifest("cand_minhash")
+    assert man and "skew" in man and man["skew"]["max_bucket"] >= 1
