@@ -1,0 +1,694 @@
+"""Driver-contract query registry: one entry per operator family (SURVEY.md §2).
+
+Each entry: name -> (spark_builder(spark, sf_dir) -> DataFrame, duckdb_sql|None).
+The driver runs both at sf=0.01 and compares row-count + schema + value hash,
+so every computed column is aliased identically on both sides, doubles are
+rounded identically, and every top-k has a fully deterministic ORDER BY.
+
+SQL-inexpressible operators (MinHash LSH, winnowing, connected components)
+carry sql=None -> the driver records a rows-only check (per the contract).
+
+Portability constraints discovered against DuckDB 1.0 (see tests):
+  - xxhash64 differs between engines -> md5 everywhere a hash value surfaces;
+  - no correlated lateral range() -> static numbers cross-join for shingles;
+  - Decimal vs double -> explicit CAST(... AS DOUBLE) in SQL aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+Builder = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[Builder, str | None]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: Builder) -> Builder:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# relational core over the TPC-H-ish tables (SURVEY.md §2.2/2.3/2.4/2.5)
+# =====================================================================
+
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """A1/A2/A5 multi-agg group-by (reference report.py:45-71); flagship."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07 AND l_returnflag = 'R'
+    """,
+)
+def q02(spark, sf):
+    """P1/P2/P8: conjunctive predicate filter + projection + computed column
+    (reference filter.py:69-77, report.py:7-9)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & F.col("l_discount").between(0.05, 0.07) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        )
+    )
+
+
+@q(
+    "q03_topk_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def q03(spark, sf):
+    """W1 top-k by count (reference report.py:113-129) — TakeOrderedAndProject."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q04_join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q04(spark, sf):
+    """J1 broadcast hash join chain (reference cluster_split.py:249-258 lookup
+    semantics): small dims broadcast explicitly."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "q05_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q05(spark, sf):
+    """J2 left-semi join (reference tests/test_cluster_pairs.py:21-24)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "q06_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q06(spark, sf):
+    """U4 anti join (reference cluster_split.py:207-209 'unassigned' semantics)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "q07_conditional_agg",
+    """
+    SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_kept,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_value
+    FROM lineitem
+    """,
+)
+def q07(spark, sf):
+    """A9 conditional-count metrics (reference evaluate.py:211-214 TP/FP/TN/FN)."""
+    li = _t(spark, sf, "lineitem")
+    r = F.col("l_returnflag") == "R"
+    return li.agg(
+        F.sum(F.when(r, 1).otherwise(0)).alias("n_returned"),
+        F.sum(F.when(~r, 1).otherwise(0)).alias("n_kept"),
+        F.round(F.sum(F.when(r, F.col("l_extendedprice")).otherwise(0)), 2).alias("returned_value"),
+    )
+
+
+@q(
+    "q08_count_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q08(spark, sf):
+    """A3 count-distinct (reference report.py:94-106 dup analysis)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@q(
+    "q09_window_topn_per_group",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q09(spark, sf):
+    """W5 per-group enumeration via window row_number (SURVEY.md §2.5)."""
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "q10_union_distinct",
+    """
+    SELECT COUNT(*) AS n_keys FROM (
+      SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer)
+    """,
+)
+def q10(spark, sf):
+    """U1/U2 union of columns -> distinct (reference disco.py:43)."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return o.union(c).distinct().agg(F.count("*").alias("n_keys"))
+
+
+@q(
+    "q11_global_stats",
+    """
+    SELECT ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(STDDEV(l_extendedprice), 2) AS std_price,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def q11(spark, sf):
+    """A8 global scalar aggregates (reference analyze.py:10-12,96-98)."""
+    return _t(spark, sf, "lineitem").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev("l_extendedprice"), 2).alias("std_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q12_events_hourly",
+    """
+    SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type, hr
+    """,
+)
+def q12(spark, sf):
+    """A2 multi-key time-bucketed aggregation over the events table."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@q(
+    "q13_hash_bucket_split",
+    """
+    SELECT ascii(substr(md5(source), 1, 1)) % 4 AS bucket,
+           COUNT(*) AS n, COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY bucket
+    """,
+)
+def q13(spark, sf):
+    """R4 deterministic group-atomic split via content-hash bucket (replaces
+    the reference's GroupShuffleSplit on `source`,
+    fine_tune_sbert.py:216-227): same source -> same bucket, leak-free."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy((F.ascii(F.substring(F.md5("source"), 1, 1)) % 4).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.countDistinct("source").alias("n_sources"))
+    )
+
+
+# =====================================================================
+# text analysis / dedup operators over documents (graft additions)
+# =====================================================================
+
+
+@q(
+    "q14_token_count",
+    """
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q14(spark, sf):
+    """Token counting (whitespace) — text-analysis op, engine-portable form."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@q(
+    "q15_quality_score",
+    """
+    SELECT doc_id,
+           ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text), 4) AS space_ratio,
+           ROUND(CAST(length(text) - length(replace(replace(replace(text, 'the', ''), 'and', ''), 'data', '')) AS DOUBLE)
+                 / length(text), 4) AS stopwordish_ratio,
+           CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS len_ok
+    FROM documents
+    """,
+)
+def q15(spark, sf):
+    """Quality scoring: length/space/stopword ratios (training-data pipeline op)."""
+    d = _t(spark, sf, "documents")
+    txt = F.col("text")
+    stop_stripped = F.replace(F.replace(F.replace(txt, F.lit("the"), F.lit("")), F.lit("and"), F.lit("")), F.lit("data"), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.round((F.length(txt) - F.length(F.replace(txt, F.lit(" "), F.lit("")))).cast("double") / F.length(txt), 4).alias("space_ratio"),
+        F.round((F.length(txt) - F.length(stop_stripped)).cast("double") / F.length(txt), 4).alias("stopwordish_ratio"),
+        F.when(F.col("n_chars").between(100, 400), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+@q(
+    "q16_lang_id_heuristic",
+    """
+    SELECT lang,
+           SUM(CASE WHEN (length(text) - length(replace(text, ' der ', ''))) > 0
+                      OR (length(text) - length(replace(text, ' und ', ''))) > 0
+                    THEN 1 ELSE 0 END) AS n_de_markers,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang
+    """,
+)
+def q16(spark, sf):
+    """Language-ID heuristic: stopword-marker counting per labeled lang."""
+    d = _t(spark, sf, "documents")
+
+    def hits(marker):
+        return F.length("text") - F.length(F.replace(F.col("text"), F.lit(marker), F.lit("")))
+
+    return d.groupBy("lang").agg(
+        F.sum(F.when((hits(" der ") > 0) | (hits(" und ") > 0), 1).otherwise(0)).alias("n_de_markers"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q17_doc_fingerprint",
+    """
+    SELECT md5(lower(text)) AS fingerprint,
+           md5(substr(lower(text), 1, 32)) AS prefix_fp,
+           doc_id
+    FROM documents
+    """,
+)
+def q17(spark, sf):
+    """Document fingerprinting (md5 full + prefix) — portable hash surface."""
+    d = _t(spark, sf, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        F.md5(low).alias("fingerprint"),
+        F.md5(F.substring(low, 1, 32)).alias("prefix_fp"),
+        "doc_id",
+    )
+
+
+@q(
+    "q18_exact_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS rep_id
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def q18(spark, sf):
+    """A10/C1 exact dedup on content hash (reference filter.py:51-57).
+    sf0.01 documents are all unique, so the corpus deterministically re-adds
+    every 5th doc as a duplicate first."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return (
+        d.union(dup)
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+@q(
+    "q19_dedup_assignments",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+    FROM corpus
+    """,
+)
+def q19(spark, sf):
+    """C3/C4 exact-dup cluster assignment: cluster_id = min(doc_id) over the
+    content-hash group; unique docs stay self-rooted (noise -> singleton,
+    Clusters.md:51-55). SQL-checkable twin of the CC stage."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    w = Window.partitionBy(F.md5("text"))
+    return d.union(dup).select("doc_id", F.min("doc_id").over(w).alias("cluster_id"))
+
+
+@q(
+    "q20_shingle_count",
+    """
+    SELECT d.doc_id, COUNT(DISTINCT substr(lower(d.text), CAST(r.i AS INT), 5)) AS n_shingles
+    FROM documents d, range(1, 2001) r(i)
+    WHERE r.i <= greatest(length(d.text) - 4, 1)
+    GROUP BY d.doc_id
+    """,
+)
+def q20(spark, sf):
+    """F5 shingling, relational form: distinct 5-char shingles per doc (the
+    Spark side uses transform(sequence(...)) array lambdas — JVM-side, no UDF;
+    DuckDB uses a static numbers cross join)."""
+    d = _t(spark, sf, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(lower(text), i, 5))"
+    )
+    return d.select("doc_id", F.size(F.array_distinct(shingles)).alias("n_shingles"))
+
+
+@q(
+    "q21_ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT d.doc_id, list(DISTINCT substr(lower(d.text), CAST(r.i AS INT), 5)) AS shingles
+      FROM documents d, range(1, 2001) r(i)
+      WHERE r.i <= greatest(length(d.text) - 4, 1) AND d.doc_id < 120
+      GROUP BY d.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (length(a.shingles) + length(b.shingles)
+                    - length(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (length(a.shingles) + length(b.shingles)
+             - length(list_intersect(a.shingles, b.shingles))) >= 0.3
+    """,
+)
+def q21(spark, sf):
+    """n-gram Jaccard near-dup pairs, brute-force on a bounded id range —
+    the SQL-checkable twin of the MinHash path (array_intersect JVM-side)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 120)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(lower(text), i, 5))")
+        ).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(jac >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "q22_substring_containment",
+    """
+    WITH corpus AS (
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, substr(lower(text), 11, 60) AS text
+      FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 80)
+    SELECT a.doc_id AS container_id, b.doc_id AS fragment_id
+    FROM corpus a JOIN corpus b
+      ON a.doc_id <> b.doc_id AND length(b.text) >= 20
+         AND strpos(a.text, b.text) > 0
+    """,
+)
+def q22(spark, sf):
+    """Substring-containment pairs (the substring pass, relational twin):
+    fragments are injected deterministically, detection via instr/strpos."""
+    d = _t(spark, sf, "documents").select("doc_id", F.lower("text").alias("text"), "n_chars")
+    frag = d.where((F.col("doc_id") % 7 == 0) & (F.col("n_chars") >= 80)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.substring("text", 11, 60).alias("text")
+    )
+    corpus = d.select("doc_id", "text").union(frag)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.length(F.col("b.text")) >= 20)
+            & (F.instr(F.col("a.text"), F.col("b.text")) > 0),
+        )
+        .select(F.col("a.doc_id").alias("container_id"), F.col("b.doc_id").alias("fragment_id"))
+    )
+
+
+# =====================================================================
+# embeddings: similarity search operators
+# =====================================================================
+
+
+@q(
+    "q23_embedding_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(sqrt(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)), 3) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q23(spark, sf):
+    """F9 vector math JVM-side: L2 norm via aggregate() higher-order fn."""
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
+            3,
+        ).alias("l2_norm"),
+    )
+
+
+@q(
+    "q24_cosine_knn",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             CAST(list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(cos, 3) AS cosine
+    FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 15
+    """,
+)
+def q24(spark, sf):
+    """Brute-force cosine top-k vs a query vector (ANN baseline; J5 replaced):
+    broadcast single-row query, zip_with dot product, TakeOrdered top-k."""
+    e = _t(spark, sf, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    nb = F.sqrt(F.expr("aggregate(qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", dot / (na * nb))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(15)
+        .select("vec_id", F.round("cos", 3).alias("cosine"))
+    )
+
+
+@q(
+    "q25_label_centroid_dist",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS centroid_d0,
+           ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 4) AS centroid_d1
+    FROM embeddings GROUP BY label
+    """,
+)
+def q25(spark, sf):
+    """C6 cluster-quality rollup analog: per-label centroid coordinates
+    (reference analyze.py:144-157)."""
+    e = _t(spark, sf, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.expr("CAST(embedding[0] AS DOUBLE)")), 4).alias("centroid_d0"),
+        F.round(F.avg(F.expr("CAST(embedding[1] AS DOUBLE)")), 4).alias("centroid_d1"),
+    )
+
+
+# =====================================================================
+# engine-native operators (no SQL twin -> rows-only driver check)
+# =====================================================================
+
+
+@q("q26_minhash_candidates", None)
+def q26(spark, sf):
+    """MinHash LSH candidate pairs over documents.text (128 perms, 32x4
+    banding) — the engine's core path; not ANSI-SQL-expressible."""
+    from . import lsh
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("rep_id"), F.col("text").alias("caption"))
+    sigs = lsh.with_minhash(d, "caption")
+    pairs, _ = lsh.minhash_candidates(sigs, "rep_id")
+    return pairs
+
+
+@q("q27_minhash_verified_pairs", None)
+def q27(spark, sf):
+    """Full MinHash path: LSH candidates + exact-Jaccard verify >= 0.7."""
+    from . import lsh, verify
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("rep_id"), F.col("text").alias("caption"))
+    sigs = lsh.with_shingles(lsh.with_minhash(d, "caption"), "caption")
+    cand, _ = lsh.minhash_candidates(sigs, "rep_id")
+    return verify.verify_jaccard(cand, sigs, "rep_id")
+
+
+@q("q28_connected_components", None)
+def q28(spark, sf):
+    """Large-star/small-star CC over deterministic dup edges on documents
+    (iterative fixpoint — no SQL twin)."""
+    from .components import connected_components
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("doc_id"))
+    # synthetic edge set: chain docs within each md5-prefix bucket
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.ascii(F.substring(F.md5(F.col("text")), 1, 1)).alias("b"),
+    )
+    w = Window.partitionBy("b").orderBy("id")
+    edges = (
+        docs.withColumn("prev", F.lag("id").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("id").alias("dst"))
+    )
+    return connected_components(edges, d).withColumnsRenamed({"image_id": "doc_id"})
+
+
+@q("q29_winnow_substring_pass", None)
+def q29(spark, sf):
+    """Winnowing + per-bucket suffix-array substring pass over documents
+    (fragments injected deterministically)."""
+    from . import verify
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("rep_id"), F.lower("text").alias("caption"), "n_chars")
+    frag = d.where((F.col("rep_id").cast("long") % 7 == 0) & (F.col("n_chars") >= 80)).select(
+        (F.col("rep_id").cast("long") + 100000).cast("string").alias("rep_id"),
+        F.substring("caption", 11, 60).alias("caption"),
+    )
+    corpus = d.select("rep_id", "caption").union(frag)
+    return verify.substring_edges(corpus, "rep_id", "caption")
+
+
+def queries() -> dict[str, Builder]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}

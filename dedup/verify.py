@@ -68,38 +68,21 @@ def verify_hamming(
 
 
 def _suffix_array(s: str) -> list[int]:
-    """Plain O(n log^2 n)-ish suffix array (bucket texts are small)."""
+    """Suffix array of one caption (containers are short; plain sort is fine)."""
     return sorted(range(len(s)), key=lambda i: s[i:])
 
 
-def substring_pairs_in_group(ids: list[str], captions: list[str], min_len: int) -> list[tuple[str, str]]:
-    """Within one fingerprint bucket: pairs (container, fragment) where the
-    FULL caption of the fragment (len >= min_len) occurs contiguously inside
-    the container's caption. Uses a suffix array over the concatenated bucket
-    text + binary search per needle."""
-    texts = [c.lower() for c in captions]
-    sep = "\x00"
-    big = sep.join(texts)
-    offsets = [0]
-    for t in texts:
-        offsets.append(offsets[-1] + len(t) + 1)
-    sa = _suffix_array(big)
-    out: set[tuple[str, str]] = set()
+def substring_hits_in_container(container: str, needles: list[str]) -> list[bool]:
+    """Suffix-array membership: build the SA of `container` once, binary-search
+    each needle for an occurrence (standard SA pattern search)."""
     import bisect
 
-    for bi, needle in enumerate(texts):
-        if len(needle) < min_len:
-            continue
-        lo = bisect.bisect_left(sa, needle, key=lambda i: big[i : i + len(needle)])
-        hi = bisect.bisect_right(sa, needle, key=lambda i: big[i : i + len(needle)])
-        for pos in sa[lo:hi]:
-            ai = bisect.bisect_right(offsets, pos) - 1
-            if ai == bi:
-                continue
-            if pos + len(needle) <= offsets[ai + 1] - 1:  # fully inside one caption
-                a, b = ids[ai], ids[bi]
-                out.add((a, b) if a < b else (b, a))
-    return sorted(out)
+    sa = _suffix_array(container)
+    out = []
+    for needle in needles:
+        lo = bisect.bisect_left(sa, needle, key=lambda i: container[i : i + len(needle)])
+        out.append(lo < len(sa) and container[sa[lo] : sa[lo] + len(needle)] == needle)
+    return out
 
 
 def substring_edges(
@@ -108,36 +91,58 @@ def substring_edges(
 ) -> DataFrame:
     """Suffix-array substring pass over unique captions.
 
+    Stages (each shuffle-bounded; nothing quadratic in a hot bucket):
     1. winnowing fingerprints per caption (Arrow pandas_udf) — guarantee:
        any containment of length >= cfg.substr_min_len shares a fingerprint;
-    2. keep only fingerprints seen >= 2x (aggregate prune before the shuffle);
-    3. groupBy(fingerprint).applyInPandas: suffix array per bucket -> edges."""
+    2. candidate (container, fragment) pairs = distinct self-join on the
+       fingerprint (JVM; a pair sharing k fingerprints is deduped to one row
+       BEFORE verification, so hot fingerprints don't multiply verify work);
+    3. equal-caption candidates short-circuit JVM-side;
+    4. groupBy(container).applyInPandas: suffix array of the container
+       caption built once, each candidate fragment binary-searched in it."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _wf(s: pd.Series) -> pd.Series:
         return signatures.batch_winnow(s, cfg)
 
-    fps = (
-        captions_df.select(
-            F.col(id_col).alias("id"), F.col(caption_col).alias("caption"), _wf(F.col(caption_col)).alias("fps")
-        )
-        .select("id", "caption", F.explode("fps").alias("fp"))
+    base = captions_df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(caption_col)).alias("caption")
     )
-    hot = fps.groupBy("fp").agg(F.count("*").alias("n")).where(F.col("n") > 1).select("fp")
-    fps = fps.join(hot, "fp")  # AQE broadcasts the (small) hot-fp set
+    fps = base.select(
+        "id", F.length("caption").alias("len"), F.explode(_wf(F.col("caption"))).alias("fp")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    # orient candidates container->fragment: fragment no longer than container,
+    # fragment at least min_len; ties (equal length) kept in both directions
+    cand = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")))
+        .where((F.col("b.len") >= cfg.substr_min_len) & (F.col("b.len") <= F.col("a.len")))
+        .select(F.col("a.id").alias("cid"), F.col("b.id").alias("fid"))
+        .distinct()
+    )
+    withcaps = (
+        cand.join(base.withColumnsRenamed({"id": "cid", "caption": "c_cap"}), "cid")
+        .join(base.withColumnsRenamed({"id": "fid", "caption": "f_cap"}), "fid")
+    )
+    # short-circuit: identical captions (containment trivially true) — JVM only
+    equal = withcaps.where(F.col("c_cap") == F.col("f_cap")).select("cid", "fid")
+    rest = withcaps.where(F.col("c_cap") != F.col("f_cap"))
 
     out_schema = T.StructType(
-        [T.StructField("id_a", T.StringType()), T.StructField("id_b", T.StringType())]
+        [T.StructField("cid", T.StringType()), T.StructField("fid", T.StringType())]
     )
-    min_len = cfg.substr_min_len
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pairs = substring_pairs_in_group(
-            pdf["id"].tolist(), pdf["caption"].tolist(), min_len
-        )
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        container = pdf["c_cap"].iloc[0]
+        hits = substring_hits_in_container(container, pdf["f_cap"].tolist())
+        return pdf.loc[hits, ["cid", "fid"]]
 
-    pairs = fps.groupBy("fp").applyInPandas(emit, out_schema).distinct()
+    found = rest.groupBy("cid").applyInPandas(emit, out_schema)
+    pairs = (
+        equal.union(found)
+        .select(F.least("cid", "fid").alias("id_a"), F.greatest("cid", "fid").alias("id_b"))
+        .distinct()
+    )
     return pairs.select(
         "id_a", "id_b", F.lit("substring").alias("match_type"), F.lit(1.0).alias("score")
     )

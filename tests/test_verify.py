@@ -1,8 +1,10 @@
-"""Verify-stage unit tests: suffix-array substring pass golden cases."""
+"""Verify-stage unit tests: suffix-array substring pass."""
 
 from __future__ import annotations
 
-from dedup.verify import substring_pairs_in_group, _suffix_array
+from pyspark.sql import functions as F
+
+from dedup.verify import _suffix_array, substring_edges, substring_hits_in_container
 
 
 def test_suffix_array_sorted():
@@ -12,30 +14,34 @@ def test_suffix_array_sorted():
     assert suf == sorted(suf)
 
 
-def test_substring_pairs_golden():
-    ids = ["a", "b", "c", "d"]
-    caps = [
-        "the harbor crane overlooks the winter canal at dusk",
-        "overlooks the winter canal",  # 26-char fragment of a
-        "entirely different caption here",
-        "the winter canal",  # only 16 chars — below min_len
+def test_substring_hits_golden():
+    container = "the harbor crane overlooks the winter canal at dusk"
+    needles = [
+        "overlooks the winter canal",  # present
+        "the winter canal",            # present
+        "harbor crane x",              # absent
+        "dusk",                        # present (suffix)
+        "the harbor",                  # present (prefix)
+        "zzz",                         # absent
     ]
-    pairs = substring_pairs_in_group(ids, caps, 20)
-    assert pairs == [("a", "b")]
-
-
-def test_substring_case_insensitive_and_multi():
-    ids = ["x", "y", "z"]
-    caps = [
-        "The Lantern Festival Crosses A Gravel Path Before Sunrise",
-        "lantern festival crosses a gravel",
-        "crosses a gravel path before sunrise",
+    assert substring_hits_in_container(container, needles) == [
+        True, True, False, True, True, False,
     ]
-    pairs = substring_pairs_in_group(ids, caps, 20)
-    assert ("x", "y") in pairs and ("x", "z") in pairs
 
 
-def test_substring_identical_captions():
-    # identical captions contain each other; pair emitted once, ordered
-    pairs = substring_pairs_in_group(["b", "a"], ["same caption twenty chars!"] * 2, 20)
-    assert pairs == [("a", "b")]
+def test_substring_edges_spark(spark):
+    rows = [
+        ("a", "the harbor crane overlooks the winter canal at dusk"),
+        ("b", "overlooks the winter canal"),          # fragment of a (26 chars)
+        ("c", "entirely different caption here ok"),
+        ("d", "the winter canal"),                    # 16 chars — below min_len
+        ("e", "The Harbor Crane Overlooks the winter canal at dusk"),  # case-equal to a
+    ]
+    df = spark.createDataFrame(rows, "rep_id string, caption string")
+    out = substring_edges(df).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert ("a", "b") in pairs
+    assert ("a", "e") in pairs  # case-insensitive equality
+    assert ("b", "e") in pairs  # b is a fragment of e too
+    assert all(r["match_type"] == "substring" and r["score"] == 1.0 for r in out)
+    assert not any("d" in p or "c" in p for p in pairs)
