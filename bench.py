@@ -1,0 +1,97 @@
+"""Benchmark entry (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+plus the flagship dedup pipeline on a deterministic synthetic images table,
+and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "images_per_sec": ..., "pipeline_rows": ...}
+
+Scaling evidence (N vs 4N cores) is produced by bench/scaling.py and recorded
+in BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_join_revenue_by_nation",
+    "q09_window_topn_per_group",
+    "q12_events_hourly",
+    "q18_exact_dedup",
+    "q20_shingle_count",
+    "q24_cosine_knn",
+    "q26_minhash_candidates",
+    "q27_minhash_verified_pairs",
+    "q28_connected_components",
+    "q29_winnow_substring_pass",
+]
+
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "20000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from dedup import queries as q
+    from dedup import synth
+    from dedup.pipeline import Pipeline
+    from dedup.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = q.REGISTRY[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # flagship dedup pipeline on deterministic synthetic images
+    img_path = f"/tmp/bench_images_{PIPELINE_ROWS}.parquet"
+    if not os.path.exists(img_path):
+        synth.write_parquet(img_path, PIPELINE_ROWS, seed=42)
+    wh = f"/tmp/bench_wh_{cpus}"
+    shutil.rmtree(wh, ignore_errors=True)
+    images = spark.read.parquet(img_path)
+    t0 = time.time()
+    n_assign = Pipeline(wh).run(spark, images).count()
+    pipeline_sec = time.time() - t0
+    timings["pipeline_dedup"] = round(pipeline_sec, 3)
+    print(f"# pipeline_dedup: {pipeline_sec:.1f}s ({n_assign} assignments)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_plus_dedup_pipeline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_rows": PIPELINE_ROWS,
+        "images_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
+    }
+    # attach the committed N->4N scaling evidence (bench/scaling.py output;
+    # see BENCH.md for methodology — measured on an idle box, not per-round)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench", "scaling_result.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Approximate nearest neighbour over embedding columns (array<float>).
+
+Replaces the reference's dense all-pairs `model.similarity(E, E)`
+(/root/reference/README.md:38-47, /root/reference/eridu/train/utils.py:153-235)
+with two engine paths:
+
+  - brute-force cosine top-k (baseline; exact) — JVM higher-order functions
+    (`zip_with` dot product + `aggregate` norms), broadcast query vector;
+  - random-hyperplane LSH (SimHash for vectors): b sign-bits per table ->
+    bucket join, exact cosine re-ranked only within colliding buckets — the
+    scale path (bucket sizes ~n/2^b; per-row cost O(tables * b * dim) in one
+    vectorized pandas UDF).
+
+Hyperplanes are seeded -> deterministic across runs and parallelism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def cosine_expr(a: str, b: str):
+    return F.expr(
+        f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector (TakeOrderedAndProject plan)."""
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame([(query,)], T.StructType(
+        [T.StructField("qe", T.ArrayType(T.FloatType()))]
+    ))
+    return (
+        embeddings.crossJoin(F.broadcast(qdf))
+        .withColumn("cosine", cosine_expr(vec_col, "qe"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim)).astype(np.float32)
+
+
+def with_lsh_buckets(
+    embeddings: DataFrame, dim: int, bits: int = 12, tables: int = 4, seed: int = 31337,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `buckets: array<long>` — one sign-pattern bucket id per table."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    powers = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bk(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float32)
+            codes = ((planes @ x) > 0) @ powers  # (tables,)
+            out.append(codes.astype(np.int64) + np.arange(len(codes)) * (1 << bits))
+        return pd.Series(out)
+
+    return embeddings.withColumn("buckets", _bk(F.col(vec_col)))
+
+
+def lsh_near_pairs(
+    embeddings: DataFrame, dim: int, threshold: float = 0.95,
+    bits: int = 12, tables: int = 4, seed: int = 31337,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: hyperplane-LSH buckets -> within-bucket
+    self-join -> exact cosine verified inline (fused, pre-distinct)."""
+    b = with_lsh_buckets(embeddings, dim, bits, tables, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode("buckets").alias("bk")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cos = cosine_expr("x.vec", "y.vec")
+    return (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.id") < F.col("y.id")))
+        .where(cos >= F.lit(threshold))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .distinct()
+    )

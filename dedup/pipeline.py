@@ -4,6 +4,9 @@ Stage graph (SURVEY.md §3.4), each stage a pure DataFrame transform committed
 to the warehouse with a manifest (resume = skip stages whose manifest matches
 the config hash — BASELINE.json "resumes mid-band"):
 
+  keys            the ONLY bytes scan: slim key projection (sha2, caption,
+                  phash) + per-row fidelity invariant (decode, pHash
+                  recompute) in one pass
   reps            exact-dup collapse: identical (sha2(bytes), caption) /
                   identical caption / identical phash -> representative ids +
                   member->rep edges. This is the skew kill-switch: the viral
@@ -34,6 +37,7 @@ from .config import DedupConfig, DEFAULT
 from .io import Warehouse
 
 STAGES = [
+    "keys",
     "reps",
     "signatures",
     "cand_minhash",
@@ -79,27 +83,102 @@ class Pipeline:
         self.wh.write(df, name, wall_ms=int((time.time() - t0) * 1000), extra=extra, **man_kw)
         return self.wh.read(spark, name)
 
-    def run(self, spark: SparkSession, images: DataFrame) -> DataFrame:
+    def run(
+        self, spark: SparkSession, images: DataFrame, check_fidelity: bool = True
+    ) -> DataFrame:
         from .deploy import ensure_shipped
 
         ensure_shipped(spark)  # pandas UDFs need the package on the workers
         cfg = self.cfg
 
-        # ---- stage: reps (exact collapse; 3 independent groupings) ------
-        def build_reps() -> DataFrame:
-            _, e_bytes = _collapse(
-                images, F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption")),
-                "exact", 1.0,
+        # ---- stage: keys — the ONLY scan of the bytes column -------------
+        # one pass over the images table produces the slim projection every
+        # later stage consumes (image_id, sha, caption, phash) PLUS the
+        # per-row fidelity invariant (decode pixels, recompute pHash,
+        # compare to the stored column — BASELINE.json:input_hint). sha2 is
+        # JVM-side; decode/pHash is numpy inside mapInPandas (Arrow batches,
+        # no per-row Python at the Spark layer). Raises if any row fails.
+        def build_keys() -> DataFrame:
+            with_sha = images.withColumn("sha", F.sha2(F.col("bytes"), 256))
+            if not check_fidelity:
+                return with_sha.select(
+                    "image_id", "sha", "caption", "phash",
+                    F.lit(True).alias("decode_ok"), F.lit(True).alias("phash_ok"),
+                )
+            import pandas as pd
+
+            from . import imaging
+
+            psnr_min = cfg.psnr_min_db
+
+            def check(batches):
+                for pdf in batches:
+                    res = [
+                        imaging.verify_row_fidelity(b, f, w, h, p, psnr_min)
+                        for b, f, w, h, p in zip(
+                            pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
+                        )
+                    ]
+                    yield pd.DataFrame(
+                        {
+                            "image_id": pdf["image_id"],
+                            "sha": pdf["sha"],
+                            "caption": pdf["caption"],
+                            "phash": pdf["phash"],
+                            "decode_ok": [r[0] for r in res],
+                            "phash_ok": [r[1] for r in res],
+                        }
+                    )
+
+            return with_sha.mapInPandas(
+                check,
+                "image_id string, sha string, caption string, phash long, "
+                "decode_ok boolean, phash_ok boolean",
             )
-            _, e_cap = _collapse(images, F.col("caption"), "minhash", 1.0)
-            _, e_ph = _collapse(images, F.col("phash").cast("string"), "simhash", 1.0)
-            return e_bytes.unionByName(e_cap).unionByName(e_ph).distinct()
+
+        keys = self._stage(spark, "keys", build_keys)
+        if check_fidelity:
+            bad = keys.where(~F.col("decode_ok") | ~F.col("phash_ok")).count()
+            if bad:
+                raise ValueError(f"{bad} rows failed the per-row fidelity invariant")
+
+        # ---- stage: reps (exact collapse; 3 groupings in ONE shuffle) ----
+        # stack the three collapse keys (byte-exact, caption, phash) into
+        # rows and window-min per (kind, key): one exchange instead of three
+        # groupBy+join pairs (semantics of eridu/etl/filter.py:51-57)
+        def build_reps() -> DataFrame:
+            from pyspark.sql import Window
+
+            exploded = keys.select(
+                "image_id",
+                F.expr(
+                    "explode(array("
+                    "struct('exact' AS kind, concat_ws('|', sha, caption) AS k), "
+                    "struct('minhash' AS kind, caption AS k), "
+                    "struct('simhash' AS kind, CAST(phash AS STRING) AS k)))"
+                ).alias("e"),
+            ).select("image_id", F.col("e.kind").alias("kind"), F.col("e.k").alias("k"))
+            w = Window.partitionBy("kind", "k")
+            return (
+                exploded.select(
+                    F.min("image_id").over(w).alias("id_a"),
+                    F.col("image_id").alias("id_b"),
+                    F.col("kind").alias("match_type"),
+                    F.lit(1.0).alias("score"),
+                )
+                .where(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
 
         member_edges = self._stage(spark, "reps", build_reps)
 
         # ---- stage: signatures over UNIQUE captions ----------------------
         def build_sigs() -> DataFrame:
-            uniq = images.groupBy("caption").agg(F.min("image_id").alias("rep_id"))
+            # explicit repartition: AQE coalesces the small groupBy output to
+            # 1-2 partitions, which would serialize the signature UDFs — the
+            # cost model sees bytes, not the Python compute behind them
+            dp = spark.sparkContext.defaultParallelism
+            uniq = keys.groupBy("caption").agg(F.min("image_id").alias("rep_id")).repartition(dp * 2)
             return lsh.with_shingles(lsh.with_minhash(uniq, "caption", cfg), "caption", cfg)
 
         sigs = self._stage(spark, "signatures", build_sigs)
@@ -124,9 +203,16 @@ class Pipeline:
 
         # ---- stage: simhash (pHash) edges --------------------------------
         def build_simhash() -> DataFrame:
-            uniq_ph = images.groupBy("phash").agg(F.min("image_id").alias("rep_id"))
-            cand_ph = lsh.phash_candidates(uniq_ph, "rep_id", "phash", cfg)
-            return verify.verify_hamming(cand_ph, uniq_ph, "rep_id", "phash", cfg)
+            # persist: the self-join reads uniq_ph twice; without this the
+            # groupBy over the keys scan is computed once per join side
+            uniq_ph = keys.groupBy("phash").agg(F.min("image_id").alias("rep_id")).persist()
+            # phash_candidates verifies Hamming inline (fused precision stage)
+            return lsh.phash_candidates(uniq_ph, "rep_id", "phash", cfg).select(
+                "id_a",
+                "id_b",
+                F.lit("simhash").alias("match_type"),
+                (F.lit(1.0) - F.col("hd") / F.lit(64.0)).cast("double").alias("score"),
+            )
 
         edges_sh = self._stage(spark, "edges_simhash", build_simhash)
 
@@ -159,7 +245,7 @@ class Pipeline:
             spark, "assignments",
             lambda: connected_components(
                 pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                images.select("image_id"),
+                keys.select("image_id"),
             ),
         )
 

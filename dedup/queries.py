@@ -686,6 +686,217 @@ def q29(spark, sf):
     return verify.substring_edges(corpus, "rep_id", "caption")
 
 
+# =====================================================================
+# cluster-atomic splits + leak audit (reference C7/C8)
+# =====================================================================
+
+
+@q(
+    "q30_cluster_split_counts",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    asg AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+      FROM corpus),
+    sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 800 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 900 THEN 'eval'
+                  ELSE 'test' END AS split
+      FROM asg)
+    SELECT split, COUNT(*) AS n, COUNT(DISTINCT cluster_id) AS n_clusters
+    FROM sp GROUP BY split
+    """,
+)
+def q30(spark, sf):
+    """C7 cluster-atomic split: every cluster wholly in one split via a
+    deterministic content-hash bucket (replaces the reference's driver-side
+    shuffle, cluster_split.py:108-156)."""
+    from .splits import assign_splits
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    w = Window.partitionBy(F.md5("text"))
+    asg = d.union(dup).select("doc_id", F.min("doc_id").over(w).alias("cluster_id"))
+    sp = assign_splits(asg)
+    return sp.groupBy("split").agg(
+        F.count("*").alias("n"), F.countDistinct("cluster_id").alias("n_clusters")
+    )
+
+
+@q(
+    "q31_split_leak_audit",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    asg AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+      FROM corpus),
+    sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 800 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 900 THEN 'eval'
+                  ELSE 'test' END AS split
+      FROM asg)
+    SELECT cluster_id, COUNT(DISTINCT split) AS n_splits
+    FROM sp GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def q31(spark, sf):
+    """C8 leak audit: no cluster spans two splits -> empty result
+    (reference cluster_split.py:334-403)."""
+    from .splits import assign_splits, leak_audit
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    w = Window.partitionBy(F.md5("text"))
+    asg = d.union(dup).select("doc_id", F.min("doc_id").over(w).alias("cluster_id"))
+    return leak_audit(assign_splits(asg))
+
+
+# =====================================================================
+# similarity search over embeddings (ANN)
+# =====================================================================
+
+
+@q(
+    "q32_embedding_near_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def q32(spark, sf):
+    """Embedding-cosine near-dup pairs, exact (brute-force twin of the LSH
+    path; J5 replacement). Fused filter, no UDF."""
+    from .ann import cosine_expr
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_expr("a.embedding", "b.embedding")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+@q("q33_ann_lsh_topk", None)
+def q33(spark, sf):
+    """Hyperplane-LSH bucketed ANN (scale path; seeded, deterministic) —
+    buckets -> exact cosine within collisions (rows-only check)."""
+    from .ann import lsh_near_pairs
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_near_pairs(e, dim=dim, threshold=0.4, bits=4, tables=8)
+
+
+@q(
+    "q36_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q36(spark, sf):
+    """Sessionization: 30-minute-gap session starts via lag window — the
+    analytic-window operator family (SURVEY.md §2.5) over the events table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = _t(spark, sf, "events").select(
+        "user_id",
+        F.when(
+            lag_ts.isNull()
+            | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# =====================================================================
+# evaluation operators (reference checks_evaluation / threshold sweep)
+# =====================================================================
+
+
+@q(
+    "q34_eval_confusion",
+    """
+    SELECT CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM (SELECT lang = 'en' AS label, n_chars > 200 AS pred FROM documents)
+    """,
+)
+def q34(spark, sf):
+    """A9/eval: confusion matrix via conditional aggregation (reference
+    checks_evaluation.py:129-177) on a deterministic label/pred pair."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").alias("label"), (F.col("n_chars") > 200).alias("predicted_match")
+    )
+    from .evaluation import confusion_metrics
+
+    return confusion_metrics(scored).select("tp", "fp", "tn", "fn")
+
+
+@q(
+    "q35_best_threshold",
+    """
+    WITH scored AS (
+      SELECT CAST(n_chars AS DOUBLE) / 500.0 AS score, lang = 'en' AS label
+      FROM documents),
+    sweep AS (
+      SELECT ROUND(CAST(r.i AS DOUBLE) / 100, 4) AS threshold,
+             SUM(CASE WHEN label AND score >= CAST(r.i AS DOUBLE) / 100 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN NOT label AND score >= CAST(r.i AS DOUBLE) / 100 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN label AND score < CAST(r.i AS DOUBLE) / 100 THEN 1 ELSE 0 END) AS fn
+      FROM scored, range(0, 101) r(i) GROUP BY 1)
+    SELECT threshold,
+           ROUND(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+                 / greatest(tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1), 1e-12), 4) AS f1,
+           ROUND(tp / greatest(tp + fp, 1), 4) AS precision,
+           ROUND(tp / greatest(tp + fn, 1), 4) AS recall
+    FROM sweep ORDER BY f1 DESC, threshold ASC LIMIT 1
+    """,
+)
+def q35(spark, sf):
+    """W4 argmax-over-curve: PR threshold sweep, best-F1 row (reference
+    evaluate.py:192-197, fine_tune_sbert.py:605-613)."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        (F.col("n_chars").cast("double") / 500.0).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    from .evaluation import best_threshold
+
+    return best_threshold(scored)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -108,6 +108,29 @@ def simhash64(text: str, k: int = 4) -> int:
 # ----------------------------------------- winnowing (substring candidates)
 
 
+def _winnow_kgram_hashes(b: np.ndarray, k: int) -> np.ndarray:
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(_U64)
+    powers = np.power(_U64(1099511628211), np.arange(k - 1, -1, -1, dtype=_U64))
+    h = (win * powers).sum(axis=1, dtype=_U64)
+    h = (h ^ (h >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
+    return h ^ (h >> _U64(33))
+
+
+def min_kgram_hash(text: str, cfg: DedupConfig = DEFAULT) -> int | None:
+    """Minimum winnowing k-gram hash of the text (None if shorter than k).
+
+    Containment lemma (used by the substring pass for its fragment side): if
+    fragment B occurs contiguously in container A and |B| >= w + k - 1, then
+    min over B's k-gram hashes is selected by winnowing in BOTH B and A — the
+    window covering that k-gram inside the copied region picks it as its
+    minimum. So joining B's single min hash against A's full winnowed set is
+    lossless, at 1/|W(B)| of the join volume."""
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if b.size < cfg.winnow_k:
+        return None
+    return int(_winnow_kgram_hashes(b, cfg.winnow_k).min())
+
+
 def winnow_fingerprints(text: str, cfg: DedupConfig = DEFAULT) -> np.ndarray:
     """Winnowing fingerprint set (Schleimer et al. SIGMOD'03).
 
@@ -121,11 +144,7 @@ def winnow_fingerprints(text: str, cfg: DedupConfig = DEFAULT) -> np.ndarray:
     k, w = cfg.winnow_k, cfg.winnow_w
     if b.size < k:
         return np.empty(0, dtype=_U64)
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(_U64)
-    powers = np.power(_U64(1099511628211), np.arange(k - 1, -1, -1, dtype=_U64))
-    h = (win * powers).sum(axis=1, dtype=_U64)
-    h = (h ^ (h >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
-    h = h ^ (h >> _U64(33))
+    h = _winnow_kgram_hashes(b, k)
     if h.size <= w:
         return np.unique(h.min(keepdims=True))
     wins = np.lib.stride_tricks.sliding_window_view(h, w)
@@ -164,3 +183,11 @@ def batch_winnow(captions: pd.Series, cfg: DedupConfig = DEFAULT) -> pd.Series:
     return pd.Series(
         [winnow_fingerprints(t or "", cfg).astype(np.int64) for t in captions]
     )
+
+
+def batch_min_kgram(captions: pd.Series, cfg: DedupConfig = DEFAULT) -> pd.Series:
+    out = []
+    for t in captions:
+        v = min_kgram_hash(t or "", cfg)
+        out.append(None if v is None else np.int64(np.uint64(v).astype(np.int64)))
+    return pd.Series(out, dtype="object")

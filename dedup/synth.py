@@ -75,13 +75,15 @@ def _edit_caption(rng: np.random.Generator, caption: str, n_edits: int) -> str:
     return " ".join(toks)
 
 
-def _image(rng: np.random.Generator) -> np.ndarray:
-    w = int(rng.integers(16, 65))
-    h = int(rng.integers(16, 65))
-    # smooth-ish random field so 1-3 px perturbations barely move the DCT
-    base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8).astype(np.float64)
-    yi = (np.arange(h) * 4) // h
-    xi = (np.arange(w) * 4) // w
+def _image_sized(rng: np.random.Generator, min_px: int = 16, max_px: int = 64) -> np.ndarray:
+    w = int(rng.integers(min_px, max_px + 1))
+    h = int(rng.integers(min_px, max_px + 1))
+    # smooth-ish random field so 1-3 px perturbations barely move the DCT;
+    # 12x12 base keeps pHash bit entropy realistic (a 4x4 base collapses the
+    # DCT to a handful of low-freq coefficients -> degenerate chunk buckets)
+    base = rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8).astype(np.float64)
+    yi = (np.arange(h) * 12) // h
+    xi = (np.arange(w) * 12) // w
     img = base[yi][:, xi]
     noise = rng.integers(-12, 13, size=(h, w, 3))
     return np.clip(img + noise, 0, 255).astype(np.uint8)
@@ -111,16 +113,21 @@ def _row(image_id: str, pixels: np.ndarray, fmt: str, caption: str) -> dict:
     }
 
 
-def generate(n: int, seed: int = 42) -> list[dict]:
+def generate(
+    n: int, seed: int = 42, min_px: int = 16, max_px: int = 64, id_offset: int = 0
+) -> list[dict]:
     """Generate n rows with injected duplicate families (ratios from FIXTURES.md)."""
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
-    idx = 0
+    idx = id_offset
 
     def nid() -> str:
         nonlocal idx
         idx += 1
         return f"img{idx - 1:010d}"
+
+    def _image(r):
+        return _image_sized(r, min_px, max_px)
 
     n_viral = max(3, n // 20)  # ~5% share one caption
     viral_caption = _caption(rng, min_words=8)
@@ -190,7 +197,54 @@ def to_arrow(rows: list[dict]) -> pa.Table:
     return pa.table(cols, schema=_SCHEMA)
 
 
-def write_parquet(path: str, n: int, seed: int = 42) -> str:
+def write_parquet(
+    path: str,
+    n: int,
+    seed: int = 42,
+    row_group_size: int = 4096,
+    min_px: int = 16,
+    max_px: int = 64,
+) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(to_arrow(generate(n, seed)), path)
+    # small row groups: Spark parallelizes parquet scans at row-group
+    # granularity, and the bytes column makes groups heavy — one giant row
+    # group would serialize the sha2(bytes) scan onto a single task
+    pq.write_table(
+        to_arrow(generate(n, seed, min_px, max_px)), path, row_group_size=row_group_size
+    )
+    return path
+
+
+_CHUNK = 20000  # fixed chunk size so dataset content is worker-count-independent
+
+
+def _write_chunk(args) -> str:
+    d, i, n_chunk, seed, min_px, max_px = args
+    rows = generate(n_chunk, seed + 9973 * i, min_px, max_px, id_offset=i * _CHUNK)
+    out = os.path.join(d, f"part-{i:05d}.parquet")
+    pq.write_table(to_arrow(rows), out, row_group_size=4096)
+    return out
+
+
+def write_parquet_dir(
+    path: str,
+    n: int,
+    seed: int = 42,
+    min_px: int = 16,
+    max_px: int = 64,
+    workers: int = 16,
+) -> str:
+    """Parallel deterministic generator: a DIRECTORY of parquet files, chunked
+    at a fixed 20k rows (per-chunk seed = seed + 9973*i), so the dataset is a
+    pure function of (n, seed, px range) regardless of worker count. Used for
+    bench-scale inputs; tests keep the single-file serial writer."""
+    import multiprocessing as mp
+
+    os.makedirs(path, exist_ok=True)
+    chunks = [
+        (path, i, min(_CHUNK, n - i * _CHUNK), seed, min_px, max_px)
+        for i in range((n + _CHUNK - 1) // _CHUNK)
+    ]
+    with mp.Pool(min(workers, len(chunks))) as pool:
+        pool.map(_write_chunk, chunks)
     return path

@@ -87,47 +87,71 @@ def substring_hits_in_container(container: str, needles: list[str]) -> list[bool
 
 def substring_edges(
     captions_df: DataFrame, id_col: str = "rep_id", caption_col: str = "caption",
-    cfg: DedupConfig = DEFAULT,
+    cfg: DedupConfig = DEFAULT, sa_min_container_len: int = 2048,
 ) -> DataFrame:
     """Suffix-array substring pass over unique captions.
 
-    Stages (each shuffle-bounded; nothing quadratic in a hot bucket):
-    1. winnowing fingerprints per caption (Arrow pandas_udf) — guarantee:
-       any containment of length >= cfg.substr_min_len shares a fingerprint;
-    2. candidate (container, fragment) pairs = distinct self-join on the
-       fingerprint (JVM; a pair sharing k fingerprints is deduped to one row
-       BEFORE verification, so hot fingerprints don't multiply verify work);
-    3. equal-caption candidates short-circuit JVM-side;
-    4. groupBy(container).applyInPandas: suffix array of the container
-       caption built once, each candidate fragment binary-searched in it."""
+    Candidate generation (shuffle-bounded, nothing quadratic in a hot bucket):
+    - container side: all winnowing fingerprints per caption (Arrow UDF) —
+      guarantee: any containment of length >= cfg.substr_min_len shares one;
+    - fragment side: ONE key per caption — its minimum k-gram hash. If B is
+      contained in A, min(kgrams(B)) is winnow-selected in both B and A
+      (see signatures.min_kgram_hash), so this asymmetric join is lossless
+      and ~|W(B)|x cheaper than fp-set x fp-set.
+
+    Verification is fused INTO the candidate join for short containers
+    (`instr`, whole-stage codegen — captions travel inline, so the raw
+    collision set never hits a distinct or a join-back; measured 2M candidate
+    rows -> trivial on a common-phrase-heavy corpus). Containers longer than
+    `sa_min_container_len` instead route to a grouped applyInPandas that
+    builds the container's suffix array once and binary-searches each
+    candidate fragment — O(len * log) per probe beats instr's O(len_a*len_b)
+    exactly when documents are long (the 100TB-document regime)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _wf(s: pd.Series) -> pd.Series:
         return signatures.batch_winnow(s, cfg)
 
+    @F.pandas_udf(T.LongType())
+    def _minfp(s: pd.Series) -> pd.Series:
+        return signatures.batch_min_kgram(s, cfg)
+
+    # explicit parallelism: AQE's byte-based coalescing would serialize the
+    # winnowing UDFs on small-but-compute-heavy caption tables
+    dp = captions_df.sparkSession.sparkContext.defaultParallelism
     base = captions_df.select(
         F.col(id_col).alias("id"), F.lower(F.col(caption_col)).alias("caption")
+    ).repartition(dp * 2)
+    containers = base.select(
+        "id",
+        "caption",
+        F.length("caption").alias("len"),
+        F.explode(_wf(F.col("caption"))).alias("fp"),
     )
-    fps = base.select(
-        "id", F.length("caption").alias("len"), F.explode(_wf(F.col("caption"))).alias("fp")
-    )
-    a, b = fps.alias("a"), fps.alias("b")
-    # orient candidates container->fragment: fragment no longer than container,
-    # fragment at least min_len; ties (equal length) kept in both directions
-    cand = (
+    fragments = base.select(
+        "id", "caption", F.length("caption").alias("len"), _minfp(F.col("caption")).alias("fp")
+    ).where(F.col("fp").isNotNull() & (F.col("len") >= cfg.substr_min_len))
+    a = containers.alias("a")
+    b = fragments.alias("b")
+    raw = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")))
-        .where((F.col("b.len") >= cfg.substr_min_len) & (F.col("b.len") <= F.col("a.len")))
-        .select(F.col("a.id").alias("cid"), F.col("b.id").alias("fid"))
-        .distinct()
+        .where(F.col("b.len") <= F.col("a.len"))
+        .select(
+            F.col("a.id").alias("cid"),
+            F.col("b.id").alias("fid"),
+            F.col("a.caption").alias("c_cap"),
+            F.col("b.caption").alias("f_cap"),
+            F.col("a.len").alias("c_len"),
+        )
     )
-    withcaps = (
-        cand.join(base.withColumnsRenamed({"id": "cid", "caption": "c_cap"}), "cid")
-        .join(base.withColumnsRenamed({"id": "fid", "caption": "f_cap"}), "fid")
+    # short containers: verify inline, pre-distinct (codegen instr)
+    short = (
+        raw.where(F.col("c_len") < sa_min_container_len)
+        .where(F.instr(F.col("c_cap"), F.col("f_cap")) > 0)
+        .select("cid", "fid")
     )
-    # short-circuit: identical captions (containment trivially true) — JVM only
-    equal = withcaps.where(F.col("c_cap") == F.col("f_cap")).select("cid", "fid")
-    rest = withcaps.where(F.col("c_cap") != F.col("f_cap"))
-
+    # long containers: dedup candidates, then per-container suffix array
+    long_cand = raw.where(F.col("c_len") >= sa_min_container_len).dropDuplicates(["cid", "fid"])
     out_schema = T.StructType(
         [T.StructField("cid", T.StringType()), T.StructField("fid", T.StringType())]
     )
@@ -137,9 +161,9 @@ def substring_edges(
         hits = substring_hits_in_container(container, pdf["f_cap"].tolist())
         return pdf.loc[hits, ["cid", "fid"]]
 
-    found = rest.groupBy("cid").applyInPandas(emit, out_schema)
+    long_hits = long_cand.groupBy("cid").applyInPandas(emit, out_schema)
     pairs = (
-        equal.union(found)
+        short.union(long_hits)
         .select(F.least("cid", "fid").alias("id_a"), F.greatest("cid", "fid").alias("id_b"))
         .distinct()
     )

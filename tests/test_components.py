@@ -10,12 +10,16 @@ from dedup.components import connected_components
 from dedup.reference_impl import UnionFind
 
 
-def _run(spark, edges: list[tuple[str, str]], vertices: list[str]) -> dict[str, str]:
+def _run(spark, edges: list[tuple[str, str]], vertices: list[str], threshold: int = 0) -> dict[str, str]:
+    """threshold=0 forces the distributed star loop (the scale path)."""
     e = spark.createDataFrame(edges or [("x", "x")], "src string, dst string")
     if not edges:
         e = e.where("1=0")
     v = spark.createDataFrame([(x,) for x in vertices], "image_id string")
-    return {r["image_id"]: r["cluster_id"] for r in connected_components(e, v).collect()}
+    return {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(e, v, driver_edge_threshold=threshold).collect()
+    }
 
 
 def _oracle(edges, vertices):
@@ -53,6 +57,22 @@ def test_cc_random_graph(spark, seed):
         (vertices[int(rng.integers(n))], vertices[int(rng.integers(n))]) for _ in range(m)
     ]
     assert _run(spark, edges, vertices) == _oracle(edges, vertices)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cc_driver_fast_path_matches_distributed(spark, seed):
+    """The size-adaptive driver union-find path must emit exactly the same
+    assignments as the distributed star loop."""
+    rng = np.random.default_rng(seed)
+    n = 150
+    vertices = [f"v{i:04d}" for i in range(n)]
+    edges = [
+        (vertices[int(rng.integers(n))], vertices[int(rng.integers(n))])
+        for _ in range(int(rng.integers(40, 200)))
+    ]
+    distributed = _run(spark, edges, vertices, threshold=0)
+    driver = _run(spark, edges, vertices, threshold=10_000_000)
+    assert distributed == driver == _oracle(edges, vertices)
 
 
 def test_cc_giant_component(spark):

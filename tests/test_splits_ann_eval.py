@@ -1,0 +1,100 @@
+"""Tests: cluster-atomic splits + leak audit, ANN LSH recall, evaluation ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup import ann
+from dedup.deploy import ensure_shipped
+from dedup.evaluation import best_threshold, confusion_metrics, evaluate_checks
+from dedup.splits import assign_splits, leak_audit
+
+
+# ------------------------------------------------------------------ splits
+
+
+def test_splits_cluster_atomic(spark):
+    rows = [(f"r{i}", f"c{i % 37}") for i in range(500)]
+    asg = spark.createDataFrame(rows, "image_id string, cluster_id string")
+    sp = assign_splits(asg)
+    assert leak_audit(sp).count() == 0  # no cluster straddles splits (C8)
+    frac = {r["split"]: r["n"] for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(frac) <= {"train", "eval", "test"}
+    assert frac["train"] > frac.get("eval", 0) and frac["train"] > frac.get("test", 0)
+
+
+def test_splits_deterministic(spark):
+    asg = spark.createDataFrame([(f"r{i}", f"c{i}") for i in range(100)], "image_id string, cluster_id string")
+    a = {r["image_id"]: r["split"] for r in assign_splits(asg).collect()}
+    b = {r["image_id"]: r["split"] for r in assign_splits(asg.repartition(7)).collect()}
+    assert a == b
+
+
+# --------------------------------------------------------------------- ann
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate of each: tiny perturbation -> cosine ~0.999
+        rows.append((1000 + i, [float(x) for x in (v + 0.02 * rng.standard_normal(32))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vec_df):
+    q = vec_df.where(F.col("vec_id") == 0).first()["embedding"]
+    top = ann.brute_force_topk(vec_df, [float(x) for x in q], k=3).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    assert top[1]["vec_id"] == 1000  # its near-duplicate ranks next
+
+
+def test_lsh_near_pairs_recall(spark, vec_df):
+    ensure_shipped(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ann.lsh_near_pairs(vec_df, dim=32, threshold=0.98, bits=8, tables=8).collect()
+    }
+    expected = {(i, 1000 + i) for i in range(40)}
+    # hyperplane LSH at cosine>=0.98: per-table collision ~0.96^8, 8 tables
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.95
+    # precision: verified inline, so nothing below threshold leaks through
+    assert all(a < 1000 and b >= 1000 for a, b in got & expected)
+
+
+# -------------------------------------------------------------- evaluation
+
+
+def test_confusion_metrics(spark):
+    rows = [(True, True)] * 8 + [(False, True)] * 2 + [(False, False)] * 7 + [(True, False)] * 3
+    df = spark.createDataFrame(rows, "label boolean, predicted_match boolean")
+    m = confusion_metrics(df).first()
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (8, 2, 7, 3)
+    assert m["precision"] == 0.8 and abs(m["recall"] - 8 / 11) < 1e-3
+    assert m["accuracy"] == 0.75
+
+
+def test_best_threshold(spark):
+    # scores: positives ~0.8, negatives ~0.2 -> best threshold in between
+    rows = [(0.8 + 0.01 * i, True) for i in range(10)] + [(0.2 + 0.01 * i, False) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    best = best_threshold(df).first()
+    assert best["f1"] == 1.0
+    assert 0.29 < best["threshold"] <= 0.8  # ties -> smallest winning threshold
+
+
+def test_evaluate_checks(spark):
+    pairs = spark.createDataFrame([("a", "b"), ("c", "d")], "id_a string, id_b string")
+    checks = spark.createDataFrame(
+        [("a", "b", True), ("c", "d", True), ("a", "c", False), ("b", "d", True)],
+        "query_id string, candidate_id string, match boolean",
+    )
+    m = evaluate_checks(checks, pairs).first()
+    # predicted: ab yes (tp), cd yes (tp), ac no (tn), bd no (fn)
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (2, 0, 1, 1)
