@@ -40,6 +40,10 @@ STAGES = [
     "keys",
     "reps",
     "signatures",
+    "cand_minhash_b00_07",
+    "cand_minhash_b08_15",
+    "cand_minhash_b16_23",
+    "cand_minhash_b24_31",
     "cand_minhash",
     "edges_minhash",
     "edges_simhash",
@@ -69,8 +73,12 @@ def _collapse(images: DataFrame, key, kind: str, score) -> tuple[DataFrame, Data
 
 
 class Pipeline:
-    def __init__(self, warehouse_root: str, cfg: DedupConfig = DEFAULT, run_id: str = "run0"):
+    def __init__(
+        self, warehouse_root: str, cfg: DedupConfig = DEFAULT, run_id: str = "run0",
+        band_groups: int = 4,
+    ):
         self.cfg = cfg
+        self.band_groups = band_groups  # LSH bands per commit = lsh_bands / band_groups
         self.wh = Warehouse(warehouse_root, cfg.config_hash(), run_id)
 
     # -- stage runner with resume skip ------------------------------------
@@ -183,16 +191,35 @@ class Pipeline:
 
         sigs = self._stage(spark, "signatures", build_sigs)
 
-        # ---- stage: minhash candidates + skew stats ----------------------
-        def build_cand():
-            pairs, skew = lsh.minhash_candidates(sigs, "rep_id", cfg)
-            stats = {
-                k: (float(v) if v is not None else None)
-                for k, v in skew.collect()[0].asDict().items()
-            }
-            return pairs, {"skew": stats}
+        # ---- stage: minhash candidates, committed per band group ---------
+        # the LSH pass runs (and checkpoints) one band group at a time, each
+        # with its own manifest carrying [band_lo, band_hi] — a job killed in
+        # group k resumes at group k, not at band 0 ("resumes mid-band")
+        group_dfs = []
+        rows_per_group = max(1, cfg.lsh_bands // self.band_groups)
+        for g in range(0, cfg.lsh_bands, rows_per_group):
+            lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
 
-        cand = self._stage(spark, "cand_minhash", build_cand)
+            def build_cand(lo=lo, hi=hi):
+                pairs, skew = lsh.minhash_candidates(sigs, "rep_id", cfg, lo, hi)
+                stats = {
+                    k: (float(v) if v is not None else None)
+                    for k, v in skew.collect()[0].asDict().items()
+                }
+                return pairs, {"skew": stats}
+
+            group_dfs.append(
+                self._stage(spark, f"cand_minhash_b{lo:02d}_{hi:02d}", build_cand,
+                            band_lo=lo, band_hi=hi)
+            )
+
+        def build_cand_union() -> DataFrame:
+            out = group_dfs[0]
+            for d in group_dfs[1:]:
+                out = out.unionByName(d)
+            return out.distinct()
+
+        cand = self._stage(spark, "cand_minhash", build_cand_union)
 
         # ---- stage: verified minhash edges -------------------------------
         edges_mh = self._stage(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 Builder = Callable[[SparkSession, str], DataFrame]
@@ -801,6 +802,46 @@ def q33(spark, sf):
     e = _t(spark, sf, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return lsh_near_pairs(e, dim=dim, threshold=0.4, bits=4, tables=8)
+
+
+@q(
+    "q37_caption_variants",
+    """
+    SELECT doc_id, 'lower' AS kind, lower(text) AS variant FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, 'sorted' AS kind,
+           array_to_string(list_sort(string_split(lower(text), ' ')), ' ') AS variant
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q37(spark, sf):
+    """D1 pattern: Arrow pandas_udf returning array<struct> + explode (the
+    reference's augment.py:20-31 abbreviation generator, re-expressed as
+    caption-normalization variants). SQL twin covers the engine-portable
+    kinds; the unicode-alnum kind is unit-tested Python-side."""
+    from pyspark.sql import types as T
+
+    from . import signatures
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    schema = T.ArrayType(
+        T.StructType(
+            [T.StructField("kind", T.StringType()), T.StructField("variant", T.StringType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def _var(s: pd.Series) -> pd.Series:
+        return signatures.batch_caption_variants(s)
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    return (
+        d.select("doc_id", F.explode(_var(F.col("text"))).alias("v"))
+        .select("doc_id", F.col("v.kind").alias("kind"), F.col("v.variant").alias("variant"))
+        .where(F.col("kind").isin("lower", "sorted"))
+    )
 
 
 @q(

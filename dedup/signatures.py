@@ -185,6 +185,27 @@ def batch_winnow(captions: pd.Series, cfg: DedupConfig = DEFAULT) -> pd.Series:
     )
 
 
+def caption_variants(text: str) -> list[dict]:
+    """Normalization variants of a caption, used as extra exact-dup keys.
+
+    The reference's D1 pattern (SURVEY.md §2.9): a vectorized UDF returning
+    array<struct> that callers explode — its company-abbreviation generator
+    (/root/reference/eridu/etl/augment.py:20-31,
+    /root/reference/eridu/etl/acronyms.py:35-73) re-expressed for captions:
+    lowercase, alphanumeric-only, whitespace-collapsed, token-sorted."""
+    t = (text or "").lower()
+    alnum = "".join(c if (c.isalnum() or c == " ") else " " for c in t)
+    return [
+        {"kind": "lower", "variant": t},
+        {"kind": "alnum", "variant": " ".join(alnum.split())},
+        {"kind": "sorted", "variant": " ".join(sorted(t.split(" ")))},
+    ]
+
+
+def batch_caption_variants(captions: pd.Series) -> pd.Series:
+    return pd.Series([caption_variants(t) for t in captions])
+
+
 def batch_min_kgram(captions: pd.Series, cfg: DedupConfig = DEFAULT) -> pd.Series:
     out = []
     for t in captions:

@@ -83,6 +83,27 @@ def test_resume_after_kill(spark, synth_parquet, assignments):
     assert res2 == res
 
 
+def test_resume_mid_band(spark, synth_parquet, assignments):
+    """Kill 'during' the LSH pass: band groups 0-1 committed, 2+ not. The
+    rerun must reuse groups 0-1 (manifest timestamps untouched) and finish
+    from group 2 — the north rule's 'resumes mid-band'."""
+    res, wh = assignments
+    p = Pipeline(wh)
+    before = {
+        s: p.wh.manifest(s)["committed_at"]
+        for s in ("cand_minhash_b00_07", "cand_minhash_b08_15")
+    }
+    p.wh.invalidate_after("cand_minhash_b16_23", STAGES)
+    assert p.wh.is_complete("cand_minhash_b08_15")
+    assert not p.wh.is_complete("cand_minhash_b16_23")
+    images = spark.read.parquet(synth_parquet)
+    res2 = {r["image_id"]: r["cluster_id"] for r in p.run(spark, images).collect()}
+    assert res2 == res
+    for s, ts in before.items():
+        assert p.wh.manifest(s)["committed_at"] == ts  # untouched, not recomputed
+    assert p.wh.manifest("cand_minhash_b16_23")["band_lo"] == 16
+
+
 def test_config_change_invalidates(spark, synth_parquet, tmp_path_factory, assignments):
     """A different config hash must not reuse stale stage output."""
     from dataclasses import replace
@@ -133,5 +154,6 @@ def test_skew_stats_in_manifest(assignments):
     _, wh = assignments
     from dedup.io import Warehouse
 
-    man = Warehouse(wh, "x").manifest("cand_minhash")
+    man = Warehouse(wh, "x").manifest("cand_minhash_b00_07")
     assert man and "skew" in man and man["skew"]["max_bucket"] >= 1
+    assert man["band_lo"] == 0 and man["band_hi"] == 7

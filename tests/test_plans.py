@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the optimizations SURVEY.md §4 promises must
+actually appear in the plans (pushdown, pruning, broadcast, top-k operator,
+JVM-only verify paths) — and stay there."""
+
+from __future__ import annotations
+
+import pytest
+
+from dedup import queries as q
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = q.REGISTRY[name][0](spark, SF)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "q02_filter_project")
+    pushed = next(line for line in p.splitlines() if "PushedFilters" in line)
+    assert "GreaterThan(l_quantity,45.0)" in pushed
+    assert "EqualTo(l_returnflag,R)" in pushed
+
+
+def test_column_pruning(spark):
+    p = _plan(spark, "q01_pricing_summary")
+    schema = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "l_shipdate" not in schema and "l_orderkey" not in schema
+    assert "l_quantity" in schema  # only the 5 needed columns reach the scan
+
+
+def test_small_dims_broadcast(spark):
+    p = _plan(spark, "q04_join_revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q03_topk_customers")
+
+
+def test_semi_join_operator(spark):
+    assert "LeftSemi" in _plan(spark, "q05_semi_join")
+
+
+def test_partial_aggregation(spark):
+    # partial (map-side) + final hash aggregation around the exchange
+    p = _plan(spark, "q01_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_phash_path_is_jvm_only(spark):
+    """The fused pHash candidate+verify join must not ship rows to Python."""
+    from pyspark.sql import functions as F
+
+    from dedup import lsh
+
+    images = spark.createDataFrame(
+        [("a", 12345), ("b", 12346)], "rep_id string, phash long"
+    )
+    df = lsh.phash_candidates(images)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EvalPython" not in p  # no BatchEvalPython / ArrowEvalPython operators
+
+
+def test_jaccard_verify_is_jvm_only(spark):
+    """Exact-Jaccard verification is array_intersect, not a UDF."""
+    from dedup import verify
+
+    cand = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    sh = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [2, 3, 4])], "rep_id string, shingles array<long>"
+    )
+    df = verify.verify_jaccard(cand, sh)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EvalPython" not in p
+    assert "array_intersect" in p
