@@ -1,0 +1,56 @@
+"""Skew hardening: viral hot buckets collapse before LSH; bucket accounting
+and the (opt-in) hard cap behave as documented."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup import lsh
+from dedup.config import DEFAULT
+from dedup.deploy import ensure_shipped
+
+
+@pytest.fixture(scope="module")
+def near_dup_captions(spark):
+    """200 captions that are all near-duplicates of one template (a residual
+    near-dup hot bucket that exact-collapse CANNOT remove)."""
+    base = "the glass bridge reflects a crowded plaza after the rain in pale light near the border"
+    rows = [(f"r{i:04d}", base + f" v{i % 7}") for i in range(200)]
+    return spark.createDataFrame(rows, "rep_id string, caption string")
+
+
+def test_skew_stats_expose_hot_buckets(spark, near_dup_captions):
+    ensure_shipped(spark)
+    sigs = lsh.with_minhash(near_dup_captions, "caption")
+    _, skew = lsh.minhash_candidates(sigs, "rep_id")
+    s = skew.collect()[0]
+    assert s["max_bucket"] >= 20  # the hot bucket is visible in lineage stats
+    assert s["n_over_cap"] == 0  # default cap is high
+
+
+def test_hard_cap_drops_only_oversized_buckets(spark, near_dup_captions):
+    ensure_shipped(spark)
+    cfg = replace(DEFAULT, bucket_cap=10, hard_cap=True)
+    sigs = lsh.with_minhash(near_dup_captions, "caption", cfg)
+    pairs_capped, skew = lsh.minhash_candidates(sigs, "rep_id", cfg)
+    s = skew.collect()[0]
+    assert s["n_over_cap"] > 0  # the drop is accounted, never silent
+    n_capped = pairs_capped.count()
+    pairs_free, _ = lsh.minhash_candidates(sigs, "rep_id", DEFAULT)
+    assert n_capped < pairs_free.count()  # cap actually bounded the blowup
+
+
+def test_viral_exact_dup_never_reaches_lsh(spark):
+    """Identical captions collapse to one rep before banding, so the LSH
+    join volume is per-UNIQUE-caption — the viral family contributes 1 node."""
+    rows = [(f"v{i:04d}", "one caption to rule them all and in the darkness bind them")
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    uniq = df.groupBy("caption").agg(F.min("image_id").alias("rep_id"))
+    assert uniq.count() == 1
+    sigs = lsh.with_minhash(uniq.select("rep_id", F.lit("x").alias("caption")), "caption")
+    pairs, _ = lsh.minhash_candidates(sigs, "rep_id")
+    assert pairs.count() == 0
