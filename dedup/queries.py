@@ -845,6 +845,26 @@ def q37(spark, sf):
 
 
 @q(
+    "q38_deterministic_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 100
+    """,
+)
+def q38(spark, sf):
+    """R2 exact-n seeded sample, engine-portable form: order by a content
+    hash (md5) and take n — deterministic across engines, partitionings and
+    reruns, unlike rand(seed) which is partition-dependent (the reference's
+    sample(n=900, random_state=42), tests/test_cluster_pairs.py:30-33)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
     "q36_sessionize",
     """
     WITH flagged AS (
