@@ -34,7 +34,7 @@ HEADLINE = [
     "q29_winnow_substring_pass",
 ]
 
-PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "20000"))
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "60000"))
 
 
 def main() -> None:

@@ -844,6 +844,32 @@ def q37(spark, sf):
     )
 
 
+@q("q39_caption_simhash_pairs", None)
+def q39(spark, sf):
+    """SimHash near-dup pairs over documents: 64-bit sign-sum over char
+    4-grams (signatures.simhash64), chunk-pair LSH + exact Hamming verify —
+    the caption-side SimHash tier (rows-only; LSH is not ANSI-SQL)."""
+    from pyspark.sql import types as T
+
+    from . import lsh, signatures
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    @F.pandas_udf(T.LongType())
+    def _sh(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [np.uint64(signatures.simhash64(t or "")).astype(np.int64) for t in s]
+        )
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("rep_id"), _sh(F.col("text")).alias("phash")
+    )
+    return lsh.phash_candidates(d, "rep_id", "phash").withColumnsRenamed({"hd": "hamming"})
+
+
 @q(
     "q38_deterministic_sample",
     """
