@@ -54,24 +54,6 @@ STAGES = [
 ]
 
 
-def _collapse(images: DataFrame, key, kind: str, score) -> tuple[DataFrame, DataFrame]:
-    """Group rows by `key`; rep = min(image_id). Returns (rep table, member edges)."""
-    groups = images.groupBy(key.alias("k")).agg(
-        F.min("image_id").alias("rep_id"), F.count("*").alias("n")
-    )
-    members = images.select(key.alias("k"), "image_id").join(groups, "k")
-    edges = (
-        members.where(F.col("image_id") != F.col("rep_id"))
-        .select(
-            F.col("rep_id").alias("id_a"),
-            F.col("image_id").alias("id_b"),
-            F.lit(kind).alias("match_type"),
-            F.lit(score).cast("double").alias("score"),
-        )
-    )
-    return groups, edges
-
-
 class Pipeline:
     def __init__(
         self, warehouse_root: str, cfg: DedupConfig = DEFAULT, run_id: str = "run0",

@@ -21,6 +21,9 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    # heap must scale with concurrent tasks: each scan task of a binary-heavy
+    # table holds a columnar batch + decompression buffers (~100-200MB)
+    default_mem = f"{max(8, (cores * 3) // 4)}g"
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
@@ -35,7 +38,11 @@ def get_spark(
         # 32MB scan partitions: the images table is binary-heavy (KB-scale
         # rows), and UDF decode stages need scan parallelism >> file count
         .config("spark.sql.files.maxPartitionBytes", "33554432")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 1024-row columnar batches: with KB-scale binary cells the default
+        # 4096 makes each scan task's in-flight batch ~80MB -> heap OOM at
+        # high task concurrency (measured at 1M rows x 32 tasks)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
