@@ -47,6 +47,69 @@ def brute_force_topk(
     )
 
 
+def batch_topk(
+    embeddings: DataFrame, probes: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    probe_id_col: str = "probe_id", probe_vec_col: str = "qe",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for a whole PROBE TABLE at once — the reference's
+    batch scoring of a test split (/root/reference/eridu/train/utils.py:153-235),
+    re-expressed as broadcast-join + per-probe window top-k.
+
+    probes carries (probe_id, qe). The probe side is broadcast (a test split
+    is small next to the corpus), every cosine is a JVM higher-order
+    expression, and the per-probe ranking is ROW_NUMBER over
+    (cosine DESC, id ASC) — fully deterministic. Exact batch kNN inherently
+    compares n_corpus x n_probes pairs; this is the correctness baseline.
+    The scale path for large probe sets is batch_topk_lsh (bucket-pruned)."""
+    from pyspark.sql import Window
+
+    j = embeddings.join(
+        F.broadcast(probes.select(probe_id_col, probe_vec_col)),
+        F.col(id_col) != F.col(probe_id_col) if exclude_self else F.lit(True),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        j.withColumn("cosine", cosine_expr(vec_col, probe_vec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(probe_id_col, id_col, "rn", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def batch_topk_lsh(
+    embeddings: DataFrame, probes: DataFrame, dim: int, k: int = 10,
+    bits: int = 8, tables: int = 8, seed: int = 31337,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    probe_id_col: str = "probe_id", probe_vec_col: str = "qe",
+) -> DataFrame:
+    """Approximate batch top-k: hyperplane-LSH buckets on BOTH sides, join on
+    bucket collisions (~n/2^bits of the corpus per probe per table), exact
+    cosine re-rank within candidates. May return < k rows per probe when the
+    buckets are too selective — the recall/latency dial is (bits, tables)."""
+    from pyspark.sql import Window
+
+    c = with_lsh_buckets(embeddings, dim, bits, tables, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.explode("buckets").alias("bk")
+    )
+    p = with_lsh_buckets(probes, dim, bits, tables, seed, probe_vec_col).select(
+        F.col(probe_id_col), F.col(probe_vec_col), F.explode("buckets").alias("bk")
+    )
+    cand = (
+        c.join(F.broadcast(p), "bk")
+        .where(F.col(id_col) != F.col(probe_id_col))
+        .dropDuplicates([probe_id_col, id_col])
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("cosine", cosine_expr(vec_col, probe_vec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(probe_id_col, id_col, "rn", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((tables, bits, dim)).astype(np.float32)

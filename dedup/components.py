@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .config import DedupConfig, DEFAULT
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -49,12 +51,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     return linked.where(F.col("src") != F.col("dst")).distinct()
 
 
-def _checksum(e: DataFrame) -> tuple[int, int]:
+def _checksum(e: DataFrame) -> tuple[int, int, int]:
+    """(row count, xor-of-hashes, estimated bytes) in ONE aggregate action.
+
+    The byte estimate (sum of id lengths + ~48B of python/pandas overhead per
+    edge) gates the driver union-find fast path: edge COUNT alone
+    under-estimates driver heap when ids are long URIs."""
     row = e.agg(
         F.count("*").alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.sum(F.length("src") + F.length("dst") + F.lit(48)), F.lit(0)
+        ).alias("b"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["b"])
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -91,15 +101,19 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 40,
-    driver_edge_threshold: int = 5_000_000,
+    driver_edge_threshold: int | None = None, cfg: DedupConfig = DEFAULT,
 ) -> DataFrame:
     """edges(src,dst) + vertices(id) -> assignments(image_id, cluster_id).
 
     cluster_id = min id of the component; vertices absent from edges map to
-    themselves (singletons). Edge sets below `driver_edge_threshold` take the
-    driver union-find fast path; above it, the distributed
-    large-star/small-star loop (set the threshold to 0 to force it)."""
+    themselves (singletons). Edge sets below cfg.cc_driver_edge_threshold
+    rows AND cfg.cc_driver_max_bytes estimated driver heap take the driver
+    union-find fast path; above either bound, the distributed
+    large-star/small-star loop (set the threshold to 0 to force it). The
+    explicit `driver_edge_threshold` arg overrides the config row bound."""
     spark = edges.sparkSession
+    if driver_edge_threshold is None:
+        driver_edge_threshold = cfg.cc_driver_edge_threshold
     e = (
         edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
         .where(F.col("src") != F.col("dst"))
@@ -107,7 +121,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev = _checksum(e)
-    if 0 < prev[0] <= driver_edge_threshold:
+    if 0 < prev[0] <= driver_edge_threshold and prev[2] <= cfg.cc_driver_max_bytes:
         roots = _driver_union_find(e)
         return (
             vertices.select(F.col(vertices.columns[0]).alias("image_id"))

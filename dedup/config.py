@@ -51,6 +51,14 @@ class DedupConfig:
     hard_cap: bool = False
     # --- fidelity gate ---
     psnr_min_db: float = 40.0
+    # --- execution knobs (affect HOW, never WHICH pairs are duplicates) ---
+    # connected-components takes the driver union-find fast path only while
+    # the edge set is small on BOTH axes: row count AND estimated bytes
+    # (ids can be long URIs at 100TB cardinalities, so a row count alone
+    # under-estimates driver heap). Above either bound -> distributed
+    # large-star/small-star loop. Both paths are oracle-tested identical.
+    cc_driver_edge_threshold: int = 1_000_000
+    cc_driver_max_bytes: int = 64 * 1024 * 1024
 
     def config_hash(self) -> str:
         """Stable hash of the config — stage manifests store it so resume can

@@ -75,6 +75,130 @@ def best_threshold(
     )
 
 
+# --------------------------------------------------- error-category analysis
+# Reference semantics: evaluation exports categorized FP/FN tables and a
+# per-category prominence report
+# (/root/reference/eridu/etl/error_category_analysis.py:9-54,95-106;
+# /root/reference/eridu/etl/checks_evaluation.py:277-334). The category
+# definitions below are the reference report's own interpretations
+# (error_category_analysis.py:95-106): Spacing Difference = same characters
+# different spacing; Initial vs Full Name = initials vs spelled-out;
+# Company Type Mismatch = same basename, different corporate suffix;
+# Title/Prefix Variation = equal after stripping a leading title;
+# Subset/Superset = one name contains the other; Other = no pattern.
+#
+# The expression is generated per SQL dialect from ONE fragment table so the
+# Spark operator and the DuckDB oracle twin cannot drift.
+
+_CATEGORY_TITLES = ("mr", "mr.", "mrs", "mrs.", "dr", "dr.", "prof", "prof.", "sir", "ms", "ms.")
+
+
+def _dialect(d: str) -> dict:
+    from . import signatures
+
+    stop = ", ".join(f"'{w}'" for w in sorted(signatures.STOPWORDS))
+    suf = ", ".join(f"'{w}'" for w in sorted(signatures.CORP_SUFFIXES))
+    titles = ", ".join(f"'{w}'" for w in _CATEGORY_TITLES)
+    if d == "spark":
+        return dict(
+            arr=lambda items: f"array({items})",
+            split=lambda x: f"split(lower({x}), ' ')",
+            last=lambda t: f"element_at({t}, -1)",
+            first=lambda t: f"element_at({t}, 1)",
+            drop_last=lambda t: f"array_join(slice({t}, 1, size({t}) - 1), ' ')",
+            drop_first=lambda t: f"array_join(slice({t}, 2, size({t}) - 1), ' ')",
+            filt=lambda t, lam: f"filter({t}, {lam})",
+            trans=lambda t, lam: f"transform({t}, {lam})",
+            contains=lambda a, w: f"array_contains({a}, {w})",
+            joinl=lambda t, sep: f"array_join({t}, '{sep}')",
+            instr=lambda a, b: f"instr({a}, {b})",
+            stop=stop, suf=suf, titles=titles,
+        )
+    return dict(
+        arr=lambda items: f"[{items}]",
+        split=lambda x: f"string_split(lower({x}), ' ')",
+        last=lambda t: f"({t})[-1]",
+        first=lambda t: f"({t})[1]",
+        drop_last=lambda t: f"array_to_string(list_slice({t}, 1, len({t}) - 1), ' ')",
+        drop_first=lambda t: f"array_to_string(list_slice({t}, 2, len({t})), ' ')",
+        filt=lambda t, lam: f"list_filter({t}, {lam})",
+        trans=lambda t, lam: f"list_transform({t}, {lam})",
+        contains=lambda a, w: f"list_contains({a}, {w})",
+        joinl=lambda t, sep: f"array_to_string({t}, '{sep}')",
+        instr=lambda a, b: f"strpos({a}, {b})",
+        stop=stop, suf=suf, titles=titles,
+    )
+
+
+def meaningful_tokens_expr(x: str, dialect: str = "spark") -> str:
+    """Stopword-filtered multi-char tokens of lower(x) — the shared filter of
+    signatures.initials_of / the reference's acronyms.py:52-55."""
+    f = _dialect(dialect)
+    return f["filt"](
+        f["split"](x),
+        f"w -> length(w) > 1 AND NOT {f['contains'](f['arr'](f['stop']), 'w')}",
+    )
+
+
+def error_category_expr(a: str, b: str, dialect: str = "spark") -> str:
+    """SQL CASE expression assigning an error_category to a name pair."""
+    f = _dialect(dialect)
+
+    def nospace(x):
+        return f"replace(lower({x}), ' ', '')"
+
+    def condensed(x):
+        return f"upper(replace(replace(lower({x}), '.', ''), ' ', ''))"
+
+    def initials(x):
+        mw = meaningful_tokens_expr(x, dialect)
+        return f"upper({f['joinl'](f['trans'](mw, 'w -> substring(w, 1, 1)'), '')})"
+
+    def basename(x):
+        t = f["split"](x)
+        return (
+            f"CASE WHEN {f['contains'](f['arr'](f['suf']), f['last'](t))} "
+            f"THEN {f['drop_last'](t)} ELSE lower({x}) END"
+        )
+
+    def strip_title(x):
+        t = f["split"](x)
+        return (
+            f"CASE WHEN {f['contains'](f['arr'](f['titles']), f['first'](t))} "
+            f"THEN {f['drop_first'](t)} ELSE lower({x}) END"
+        )
+
+    neq = f"lower({a}) <> lower({b})"
+    return f"""CASE
+      WHEN {nospace(a)} = {nospace(b)} AND {neq} THEN 'Spacing Difference'
+      WHEN {condensed(a)} = {initials(b)} OR {condensed(b)} = {initials(a)} THEN 'Initial vs Full Name'
+      WHEN {basename(a)} = {basename(b)} AND {neq} THEN 'Company Type Mismatch'
+      WHEN ({strip_title(a)} = lower({b}) OR {strip_title(b)} = lower({a})) AND {neq} THEN 'Title/Prefix Variation'
+      WHEN {neq} AND ({f['instr'](f'lower({a})', f'lower({b})')} > 0 OR {f['instr'](f'lower({b})', f'lower({a})')} > 0) THEN 'Subset/Superset'
+      ELSE 'Other' END"""
+
+
+def categorize_errors(
+    errors: DataFrame, name_a: str = "name_a", name_b: str = "name_b"
+) -> DataFrame:
+    """Add `error_category` to an FP/FN errors table — pure Catalyst CASE
+    expression (whole-stage codegen, no UDF), so it runs at scan speed on
+    any corpus size."""
+    return errors.withColumn("error_category", F.expr(error_category_expr(name_a, name_b)))
+
+
+def error_category_rollup(errors: DataFrame, score_col: str = "score") -> DataFrame:
+    """Per-(category, error_type) prominence rollup: count + score stats
+    (reference error_category_analysis.py:33-41 score_stats_by_category)."""
+    s = F.col(score_col)
+    return errors.groupBy("error_category", "error_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(s), 4).alias("mean_score"),
+        F.round(F.min(s), 4).alias("min_score"),
+        F.round(F.max(s), 4).alias("max_score"),
+    )
+
+
 def evaluate_checks(
     checks: DataFrame, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

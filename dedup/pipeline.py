@@ -181,9 +181,11 @@ class Pipeline:
         rows_per_group = max(1, cfg.lsh_bands // self.band_groups)
         for g in range(0, cfg.lsh_bands, rows_per_group):
             lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
+            cached: list[DataFrame] = []
 
-            def build_cand(lo=lo, hi=hi):
-                pairs, skew = lsh.minhash_candidates(sigs, "rep_id", cfg, lo, hi)
+            def build_cand(lo=lo, hi=hi, cached=cached):
+                pairs, skew, banded = lsh.minhash_candidates(sigs, "rep_id", cfg, lo, hi)
+                cached.append(banded)
                 stats = {
                     k: (float(v) if v is not None else None)
                     for k, v in skew.collect()[0].asDict().items()
@@ -194,6 +196,9 @@ class Pipeline:
                 self._stage(spark, f"cand_minhash_b{lo:02d}_{hi:02d}", build_cand,
                             band_lo=lo, band_hi=hi)
             )
+            # the stage write has committed: release this group's banded cache
+            for b in cached:
+                b.unpersist()
 
         def build_cand_union() -> DataFrame:
             out = group_dfs[0]
@@ -211,10 +216,14 @@ class Pipeline:
         )
 
         # ---- stage: simhash (pHash) edges --------------------------------
+        # persist: the self-join reads uniq_ph twice; without this the groupBy
+        # over the keys scan is computed once per join side. persist() is lazy
+        # so hoisting it here costs nothing on resume (no action runs), and
+        # the explicit unpersist after the stage commit keeps the cache from
+        # pinning executor storage for the rest of the run.
+        uniq_ph = keys.groupBy("phash").agg(F.min("image_id").alias("rep_id")).persist()
+
         def build_simhash() -> DataFrame:
-            # persist: the self-join reads uniq_ph twice; without this the
-            # groupBy over the keys scan is computed once per join side
-            uniq_ph = keys.groupBy("phash").agg(F.min("image_id").alias("rep_id")).persist()
             # phash_candidates verifies Hamming inline (fused precision stage)
             return lsh.phash_candidates(uniq_ph, "rep_id", "phash", cfg).select(
                 "id_a",
@@ -224,6 +233,7 @@ class Pipeline:
             )
 
         edges_sh = self._stage(spark, "edges_simhash", build_simhash)
+        uniq_ph.unpersist()
 
         # ---- stage: substring edges ---------------------------------------
         edges_ss = self._stage(
@@ -255,27 +265,75 @@ class Pipeline:
             lambda: connected_components(
                 pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
                 keys.select("image_id"),
+                cfg=cfg,
             ),
         )
 
         # ---- stage: per-cluster metrics ------------------------------------
+        # Size/score rollup PLUS the reference's cluster-quality distance
+        # columns (/root/reference/eridu/etl/analyze.py:60-67,120-157):
+        #   intra_mean_dist  mean (1 - score) over within-cluster pairs
+        #   rep_mean_dist    mean (1 - score) over pairs touching the cluster
+        #                    root (the distance-to-centroid analog: the root
+        #                    IS the cluster's representative)
+        #   inter_mean_dist  mean (1 - exact Jaccard) over LSH candidate
+        #                    pairs that FAILED verification across cluster
+        #                    boundaries — the near-miss margin to the nearest
+        #                    other clusters. All three are relational
+        #                    rollups over already-committed stages (pairs,
+        #                    cand, sigs): no new quadratic work.
         def build_metrics() -> DataFrame:
-            pa = pairs.join(
-                assignments.withColumnsRenamed({"image_id": "id_a", "cluster_id": "cluster_id"}),
-                "id_a",
-            )
+            asg_a = assignments.withColumnsRenamed({"image_id": "id_a", "cluster_id": "cluster_id"})
+            pa = pairs.join(asg_a, "id_a")
             per_pair = pa.groupBy("cluster_id").agg(
                 F.avg("score").alias("avg_score"),
                 F.min("score").alias("min_score"),
+                F.round(1 - F.avg("score"), 4).alias("intra_mean_dist"),
                 F.sum(F.when(F.col("match_type") == "exact", 1).otherwise(0)).alias("n_exact"),
                 F.sum(F.when(F.col("match_type") == "minhash", 1).otherwise(0)).alias("n_minhash"),
                 F.sum(F.when(F.col("match_type") == "simhash", 1).otherwise(0)).alias("n_simhash"),
                 F.sum(F.when(F.col("match_type") == "substring", 1).otherwise(0)).alias("n_substring"),
             )
+            rep = (
+                pa.where((F.col("id_a") == F.col("cluster_id")) | (F.col("id_b") == F.col("cluster_id")))
+                .groupBy("cluster_id")
+                .agg(F.round(1 - F.avg("score"), 4).alias("rep_mean_dist"))
+            )
+            scored_cand = verify.verify_jaccard(cand, sigs, "rep_id", cfg, all_scores=True)
+            cross = (
+                scored_cand.join(asg_a.select("id_a", "cluster_id"), "id_a")
+                .join(
+                    assignments.withColumnsRenamed({"image_id": "id_b", "cluster_id": "cb"}),
+                    "id_b",
+                )
+                .where(F.col("cluster_id") != F.col("cb"))
+            )
+            # each cross-cluster near-miss contributes to BOTH endpoint clusters
+            inter = (
+                cross.select("cluster_id", "score")
+                .unionByName(cross.select(F.col("cb").alias("cluster_id"), "score"))
+                .groupBy("cluster_id")
+                .agg(F.round(1 - F.avg("score"), 4).alias("inter_mean_dist"))
+            )
             sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
-            return sizes.join(per_pair, "cluster_id", "left").na.fill(
-                {"n_exact": 0, "n_minhash": 0, "n_simhash": 0, "n_substring": 0}
+            return (
+                sizes.join(per_pair, "cluster_id", "left")
+                .join(rep, "cluster_id", "left")
+                .join(inter, "cluster_id", "left")
+                .na.fill({"n_exact": 0, "n_minhash": 0, "n_simhash": 0, "n_substring": 0})
             )
 
         self._stage(spark, "metrics", build_metrics)
         return assignments
+
+    @staticmethod
+    def tight_clusters(
+        metrics: DataFrame, max_intra_dist: float = 0.2, min_size: int = 5
+    ) -> DataFrame:
+        """P6 threshold-band filter (reference cluster_split.py:62-67): keep
+        clusters that are cohesive (intra distance <= bound) and non-trivial
+        (size >= bound). Singleton clusters have NULL intra_mean_dist and are
+        excluded by the size bound anyway."""
+        return metrics.where(
+            (F.col("intra_mean_dist") <= max_intra_dist) & (F.col("size") >= min_size)
+        )

@@ -657,7 +657,7 @@ def q26(spark, sf):
     ensure_shipped(spark)
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("rep_id"), F.col("text").alias("caption"))
     sigs = lsh.with_minhash(d, "caption")
-    pairs, _ = lsh.minhash_candidates(sigs, "rep_id")
+    pairs, _, _ = lsh.minhash_candidates(sigs, "rep_id")
     return pairs
 
 
@@ -703,7 +703,7 @@ def q27(spark, sf):
         .select(F.col("doc_id").cast("string").alias("rep_id"), F.col("text").alias("caption"))
     )
     sigs = lsh.with_shingles(lsh.with_minhash(d, "caption"), "caption")
-    cand, _ = lsh.minhash_candidates(sigs, "rep_id")
+    cand, _, _ = lsh.minhash_candidates(sigs, "rep_id")
     return verify.verify_jaccard(cand, sigs, "rep_id").withColumn("score", F.round("score", 4))
 
 
@@ -921,13 +921,29 @@ def q33(spark, sf):
     SELECT doc_id, 'sorted' AS kind,
            array_to_string(list_sort(string_split(lower(text), ' ')), ' ') AS variant
     FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, 'initials' AS kind,
+           array_to_string(list_transform(mw, w -> upper(substr(w, 1, 1))), '') AS variant
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         w -> length(w) > 1 AND NOT list_contains(
+                           ['the','and','of','a','an','in','on','for','to','at','by','or',
+                            'as','is','es','i','der','die','das','und','ein','la','le','el',
+                            'los','las','de','du','des','van','von','den','do','da','dos',
+                            'di','il'], w)) AS mw
+      FROM documents WHERE doc_id < 50)
+    WHERE length(mw) >= 2
     """,
 )
 def q37(spark, sf):
     """D1 pattern: Arrow pandas_udf returning array<struct> + explode (the
     reference's augment.py:20-31 abbreviation generator, re-expressed as
-    caption-normalization variants). SQL twin covers the engine-portable
-    kinds; the unicode-alnum kind is unit-tested Python-side."""
+    caption-normalization variants, incl. the stopword-filtered 'initials'
+    kind of acronyms.py:46-71). SQL twin covers the engine-portable kinds
+    (lower/sorted/initials, stopword list mirrored from
+    signatures.STOPWORDS); the unicode-alnum kind is unit-tested
+    Python-side."""
     from pyspark.sql import types as T
 
     from . import signatures
@@ -949,7 +965,7 @@ def q37(spark, sf):
     return (
         d.select("doc_id", F.explode(_var(F.col("text"))).alias("v"))
         .select("doc_id", F.col("v.kind").alias("kind"), F.col("v.variant").alias("variant"))
-        .where(F.col("kind").isin("lower", "sorted"))
+        .where(F.col("kind").isin("lower", "sorted", "initials"))
     )
 
 
@@ -1098,6 +1114,187 @@ def q35(spark, sf):
     from .evaluation import best_threshold
 
     return best_threshold(scored)
+
+
+@q(
+    "q42_formatted_report",
+    """
+    SELECT o_orderstatus,
+           printf('orders=%08d', COUNT(*)) AS label,
+           printf('%s/%s', o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS VARCHAR)) AS key_summary
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q42(spark, sf):
+    """F2 format_string (reference report.py:7-9 add_count_column
+    format_string pattern): printf-style formatted report columns over an
+    aggregate — Spark format_string vs DuckDB printf."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.format_string("orders=%08d", F.count("*")).alias("label"),
+        F.format_string(
+            "%s/%s", F.col("o_orderstatus"), F.countDistinct("o_custkey").cast("string")
+        ).alias("key_summary"),
+    )
+
+
+@q(
+    "q43_batch_ann_topk",
+    """
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.embedding, p.qe),
+                                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))) AS cos
+      FROM embeddings c JOIN probes p ON c.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rn,
+             cos
+      FROM scored)
+    SELECT probe_id, vec_id, rn, ROUND(cos, 4) AS cosine FROM ranked WHERE rn <= 10
+    """,
+)
+def q43(spark, sf):
+    """Batch multi-query ANN top-k (ann.batch_topk): score a whole probe
+    table against the corpus in one broadcast join + per-probe window —
+    the reference's batch test-split scoring
+    (/root/reference/eridu/train/utils.py:153-235). Exact baseline; the
+    bucket-pruned scale path is ann.batch_topk_lsh."""
+    from .ann import batch_topk
+
+    e = _t(spark, sf, "embeddings")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    return batch_topk(e, probes, k=10)
+
+
+@q(
+    "q41_tight_clusters",
+    """
+    WITH pos AS (
+      SELECT doc_id, source, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents WHERE doc_id < 300),
+    sh AS (
+      SELECT doc_id, source, list(DISTINCT substr(lower(text), CAST(i AS INT), 5)) AS s
+      FROM pos GROUP BY doc_id, source),
+    p AS (
+      SELECT a.source AS source,
+             1.0 - CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS d
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT source, COUNT(*) AS n_pairs, ROUND(AVG(d), 4) AS intra_mean_dist
+      FROM p GROUP BY source),
+    sz AS (SELECT source, COUNT(*) AS size FROM documents WHERE doc_id < 300 GROUP BY source)
+    SELECT m.source AS source, sz.size AS size, m.n_pairs AS n_pairs, m.intra_mean_dist AS intra_mean_dist
+    FROM m JOIN sz ON m.source = sz.source
+    WHERE m.intra_mean_dist <= 0.82 AND sz.size >= 5
+    """,
+)
+def q41(spark, sf):
+    """P6 'tight clusters' threshold-band filter (reference
+    cluster_split.py:62-67 + analyze.py:120-157): clusters keyed on `source`,
+    intra-cluster mean distance = mean (1 - exact shingle Jaccard) over
+    within-cluster pairs, keep clusters with intra <= 0.82 AND size >= 5.
+    The pairwise work is bounded (doc_id < 300, pairs only WITHIN a source)
+    and fully JVM-side (array_intersect); the pipeline-scale analog is the
+    metrics stage's intra/inter/rep distance columns + Pipeline.tight_clusters."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(lower(text), i, 5))")
+        ).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    dist = 1.0 - inter.cast("double") / (F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter)
+    pairs = a.join(
+        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.source").alias("source"), dist.alias("d"))
+    m = pairs.groupBy("source").agg(
+        F.count("*").alias("n_pairs"), F.round(F.avg("d"), 4).alias("intra_mean_dist")
+    )
+    sz = d.groupBy("source").agg(F.count("*").alias("size"))
+    return (
+        m.join(sz, "source")
+        .where((F.col("intra_mean_dist") <= 0.82) & (F.col("size") >= 5))
+        .select("source", "size", "n_pairs", "intra_mean_dist")
+    )
+
+
+def _q40_sql() -> str:
+    from .evaluation import error_category_expr, meaningful_tokens_expr
+
+    mw = meaningful_tokens_expr("base", "duck")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(lower(text), ' '), 1, 4), ' ') AS base
+      FROM documents WHERE doc_id < 240),
+    e AS (
+      SELECT base AS name_a,
+             CASE doc_id % 6
+               WHEN 0 THEN replace(base, ' ', '')
+               WHEN 1 THEN array_to_string(list_slice(string_split(base, ' '), 1, 2), ' ')
+               WHEN 2 THEN base || ' inc'
+               WHEN 3 THEN array_to_string(list_transform({mw}, w -> upper(substring(w, 1, 1))), '.') || '.'
+               WHEN 4 THEN 'dr ' || base
+               ELSE reverse(base) END AS name_b,
+             CASE WHEN doc_id % 2 = 0 THEN 'False Positive' ELSE 'False Negative' END AS error_type,
+             CAST(doc_id % 100 AS DOUBLE) / 100 AS score
+      FROM d),
+    c AS (SELECT *, {error_category_expr("name_a", "name_b", "duck")} AS error_category FROM e)
+    SELECT error_category, error_type, COUNT(*) AS n,
+           ROUND(AVG(score), 4) AS mean_score, ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score
+    FROM c GROUP BY error_category, error_type
+    """
+
+
+@q("q40_error_categories", _q40_sql())
+def q40(spark, sf):
+    """Error-category analysis: categorized FP/FN pairs + per-category
+    prominence rollup (reference error_category_analysis.py:9-54,95-106,
+    checks_evaluation.py:277-334). The error pairs are constructed
+    deterministically from documents (one synthetic error family per
+    doc_id % 6: spacing / subset / company-suffix / initials / title /
+    other); categorization is evaluation.categorize_errors — a pure
+    Catalyst CASE whose DuckDB twin is generated from the SAME fragment
+    table (evaluation.error_category_expr), so the two dialects cannot
+    drift."""
+    from .evaluation import categorize_errors, error_category_rollup, meaningful_tokens_expr
+
+    d = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 240)
+        .select("doc_id", F.expr("array_join(slice(split(lower(text), ' '), 1, 4), ' ')").alias("base"))
+    )
+    mw = meaningful_tokens_expr("base", "spark")
+    name_b = F.expr(
+        f"""CASE doc_id % 6
+          WHEN 0 THEN replace(base, ' ', '')
+          WHEN 1 THEN array_join(slice(split(base, ' '), 1, 2), ' ')
+          WHEN 2 THEN concat(base, ' inc')
+          WHEN 3 THEN concat(array_join(transform({mw}, w -> upper(substring(w, 1, 1))), '.'), '.')
+          WHEN 4 THEN concat('dr ', base)
+          ELSE reverse(base) END"""
+    )
+    errors = d.select(
+        F.col("base").alias("name_a"),
+        name_b.alias("name_b"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("False Positive"))
+        .otherwise(F.lit("False Negative"))
+        .alias("error_type"),
+        ((F.col("doc_id") % 100).cast("double") / 100).alias("score"),
+    )
+    return error_category_rollup(categorize_errors(errors))
 
 
 def queries() -> dict[str, Builder]:

@@ -185,6 +185,84 @@ def batch_winnow(captions: pd.Series, cfg: DedupConfig = DEFAULT) -> pd.Series:
     )
 
 
+# Stopwords for the initials/abbreviation variants. The reference pulls ALL
+# languages from the stop_words package (/root/reference/eridu/etl/acronyms.py:6-13);
+# that package isn't in this sandbox, so this is a fixed multilingual subset —
+# the set is config, not semantics (the operator is "filter stopwords, take
+# initials"). Kept in ONE place so the q40 DuckDB twin can embed the same list.
+STOPWORDS = frozenset(
+    "the and of a an in on for to at by or as is es i der die das und ein "
+    "la le el los las de du des van von den do da dos di il".split()
+)
+
+# Corporate suffix vocabulary for basename/ending extraction — the role of
+# disco.basename in /root/reference/eridu/etl/acronyms.py:16-31.
+CORP_SUFFIXES = frozenset(
+    "inc inc. llc ltd ltd. gmbh ag corp corp. corporation co co. sa s.a. nv "
+    "plc llp lp srl oy ab".split()
+)
+
+
+def strip_corporate_suffix(name: str) -> str:
+    """Basename: drop trailing corporate-suffix tokens (reference
+    disco.basename role, /root/reference/eridu/etl/acronyms.py:22)."""
+    tokens = (name or "").split()
+    while tokens and tokens[-1].lower() in CORP_SUFFIXES:
+        tokens.pop()
+    return " ".join(tokens)
+
+
+def corporate_ending(name: str) -> str:
+    """Everything the basename strip removed (reference
+    get_corporate_ending, /root/reference/eridu/etl/acronyms.py:16-31)."""
+    if not name:
+        return ""
+    cleaned = strip_corporate_suffix(name)
+    if cleaned == name:
+        return ""
+    return name[len(cleaned):].strip()
+
+
+def acronym_pairs(name: str | None) -> list[dict]:
+    """Company-abbreviation variants, reference-parity semantics
+    (/root/reference/eridu/etl/acronyms.py:35-73 process_single_name):
+    stopword-filtered multi-char words of the basename -> plain initials,
+    initials + ending, dotted initials, dotted + ending. Emits nothing when
+    no suffix was stripped, when <2 meaningful words remain, or on
+    empty/None input — golden-tested against the reference's own cases
+    (/root/reference/tests/etl/test_acronyms.py:33-86)."""
+    if name is None or not name:
+        return []
+    cleaned = strip_corporate_suffix(name)
+    ending = corporate_ending(name)
+    pairs: list[dict] = []
+    if cleaned and cleaned != name:
+        meaningful = [w for w in cleaned.split() if w.lower() not in STOPWORDS and len(w) > 1]
+        if len(meaningful) > 1:
+            abbreviation = "".join(w[0].upper() for w in meaningful)
+            if len(abbreviation) > 1:
+                pairs.append({"original": name, "abbreviated": abbreviation})
+                if ending:
+                    pairs.append({"original": name, "abbreviated": f"{abbreviation} {ending}"})
+                dotted = ".".join(w[0].upper() for w in meaningful) + "."
+                pairs.append({"original": name, "abbreviated": dotted})
+                if ending:
+                    pairs.append({"original": name, "abbreviated": f"{dotted} {ending}"})
+    return pairs
+
+
+def initials_of(text: str) -> str | None:
+    """Unconditional stopword-filtered initials of a caption (None when
+    fewer than 2 meaningful words) — the caption-side analog of
+    acronym_pairs used by caption_variants' 'initials' kind."""
+    meaningful = [
+        w for w in (text or "").lower().split() if w not in STOPWORDS and len(w) > 1
+    ]
+    if len(meaningful) < 2:
+        return None
+    return "".join(w[0].upper() for w in meaningful)
+
+
 def caption_variants(text: str) -> list[dict]:
     """Normalization variants of a caption, used as extra exact-dup keys.
 
@@ -192,14 +270,19 @@ def caption_variants(text: str) -> list[dict]:
     array<struct> that callers explode — its company-abbreviation generator
     (/root/reference/eridu/etl/augment.py:20-31,
     /root/reference/eridu/etl/acronyms.py:35-73) re-expressed for captions:
-    lowercase, alphanumeric-only, whitespace-collapsed, token-sorted."""
+    lowercase, alphanumeric-only, whitespace-collapsed, token-sorted, plus a
+    stopword-filtered 'initials' kind (only when >= 2 meaningful words)."""
     t = (text or "").lower()
     alnum = "".join(c if (c.isalnum() or c == " ") else " " for c in t)
-    return [
+    out = [
         {"kind": "lower", "variant": t},
         {"kind": "alnum", "variant": " ".join(alnum.split())},
         {"kind": "sorted", "variant": " ".join(sorted(t.split(" ")))},
     ]
+    ini = initials_of(t)
+    if ini is not None:
+        out.append({"kind": "initials", "variant": ini})
+    return out
 
 
 def batch_caption_variants(captions: pd.Series) -> pd.Series:

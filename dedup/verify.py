@@ -20,12 +20,16 @@ from . import signatures
 
 
 def verify_jaccard(
-    candidates: DataFrame, shingled: DataFrame, id_col: str = "rep_id", cfg: DedupConfig = DEFAULT
+    candidates: DataFrame, shingled: DataFrame, id_col: str = "rep_id", cfg: DedupConfig = DEFAULT,
+    all_scores: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) candidates -> verified pairs with exact shingle Jaccard.
 
     `shingled` carries (id_col, shingles:array<long>). Joins are plain equi
-    joins on the id; the Jaccard itself is array_intersect/size — no UDF."""
+    joins on the id; the Jaccard itself is array_intersect/size — no UDF.
+    With all_scores=True the threshold filter is skipped and EVERY candidate
+    comes back scored — used by the metrics stage to measure inter-cluster
+    distance from the near-miss candidates."""
     sh = shingled.select(F.col(id_col), F.col("shingles"))
     j = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
@@ -36,9 +40,10 @@ def verify_jaccard(
             F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
         )
     )
-    return (
-        j.where(F.col("score") >= F.lit(cfg.jaccard_threshold))
-        .select("id_a", "id_b", F.lit("minhash").alias("match_type"), F.col("score").cast("double"))
+    if not all_scores:
+        j = j.where(F.col("score") >= F.lit(cfg.jaccard_threshold))
+    return j.select(
+        "id_a", "id_b", F.lit("minhash").alias("match_type"), F.col("score").cast("double")
     )
 
 

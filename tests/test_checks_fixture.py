@@ -72,3 +72,41 @@ def test_metrics_table_consistency(spark, assignments_wh):
     # every cluster id in metrics exists in assignments
     missing = metrics.join(asg.select("cluster_id").distinct(), "cluster_id", "left_anti")
     assert missing.count() == 0
+
+
+def test_metrics_distance_columns(spark, assignments_wh):
+    """Cluster-quality distance metrics (reference analyze.py:60-67,120-157):
+    intra_mean_dist = 1 - mean pair score (within cluster), rep_mean_dist over
+    root-touching pairs, inter_mean_dist over cross-cluster near-miss
+    candidates. All bounded to [0, 1]; intra is NULL only for clusters with
+    no committed pair (singletons)."""
+    metrics = spark.read.parquet(f"{assignments_wh}/metrics")
+    cols = set(metrics.columns)
+    assert {"intra_mean_dist", "rep_mean_dist", "inter_mean_dist"} <= cols
+    bad = metrics.where(
+        (F.col("intra_mean_dist") < 0) | (F.col("intra_mean_dist") > 1)
+        | (F.col("rep_mean_dist") < 0) | (F.col("rep_mean_dist") > 1)
+        | (F.col("inter_mean_dist") < 0) | (F.col("inter_mean_dist") > 1)
+    )
+    assert bad.count() == 0
+    # multi-member clusters must have a measured intra distance
+    assert metrics.where((F.col("size") > 1) & F.col("intra_mean_dist").isNull()).count() == 0
+    # exact-dup-dominated corpus: some clusters are perfectly tight (dist 0)
+    assert metrics.where(F.col("intra_mean_dist") == 0.0).count() > 0
+
+
+def test_tight_clusters_filter(spark, assignments_wh):
+    """P6 threshold-band filter (reference cluster_split.py:62-67): the
+    tight-clusters set is exactly the rows passing both bounds."""
+    from dedup.pipeline import Pipeline
+
+    metrics = spark.read.parquet(f"{assignments_wh}/metrics")
+    tight = Pipeline.tight_clusters(metrics, max_intra_dist=0.2, min_size=2)
+    got = {r["cluster_id"] for r in tight.collect()}
+    want = {
+        r["cluster_id"]
+        for r in metrics.collect()
+        if r["intra_mean_dist"] is not None
+        and r["intra_mean_dist"] <= 0.2 and r["size"] >= 2
+    }
+    assert got == want and got

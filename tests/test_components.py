@@ -83,3 +83,35 @@ def test_cc_giant_component(spark):
     edges = [(vertices[i], vertices[i + 1]) for i in range(n - 1)]
     res = _run(spark, edges, vertices)
     assert set(res.values()) == {"v0000"}
+
+
+def test_cc_byte_gate_forces_distributed(spark, monkeypatch):
+    """Long-URI ids must push CC off the driver fast path even when the edge
+    COUNT is tiny: the gate is byte-estimated (cfg.cc_driver_max_bytes), not
+    row-count-only. Both paths must agree with the oracle either way."""
+    import dataclasses
+
+    from dedup import components
+    from dedup.config import DEFAULT
+
+    calls = []
+    orig = components._driver_union_find
+    monkeypatch.setattr(
+        components, "_driver_union_find", lambda e: calls.append(1) or orig(e)
+    )
+    long_a, long_b = "u" * 400 + "a", "u" * 400 + "b"
+    e = spark.createDataFrame([(long_a, long_b)], "src string, dst string")
+    v = spark.createDataFrame([(long_a,), (long_b,)], "image_id string")
+    tiny = dataclasses.replace(DEFAULT, cc_driver_max_bytes=100)
+    res = {
+        r["image_id"]: r["cluster_id"]
+        for r in components.connected_components(e, v, cfg=tiny).collect()
+    }
+    assert not calls, "driver path must be skipped when bytes exceed the cap"
+    assert res == {long_a: long_a, long_b: long_a}
+    # under the default cap the same graph takes the driver fast path
+    res2 = {
+        r["image_id"]: r["cluster_id"]
+        for r in components.connected_components(e, v).collect()
+    }
+    assert calls and res2 == res

@@ -36,7 +36,7 @@ def test_minhash_lsh_recall_on_documents(spark, docs):
                 truth.add((ids[i], ids[j]))
 
     sigs = lsh.with_shingles(lsh.with_minhash(docs, "caption"), "caption")
-    cand, _ = lsh.minhash_candidates(sigs, "rep_id")
+    cand, _, _ = lsh.minhash_candidates(sigs, "rep_id")
     got = {
         (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
         for r in verify.verify_jaccard(cand, sigs, "rep_id").collect()

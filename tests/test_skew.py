@@ -25,7 +25,7 @@ def near_dup_captions(spark):
 def test_skew_stats_expose_hot_buckets(spark, near_dup_captions):
     ensure_shipped(spark)
     sigs = lsh.with_minhash(near_dup_captions, "caption")
-    _, skew = lsh.minhash_candidates(sigs, "rep_id")
+    _, skew, _ = lsh.minhash_candidates(sigs, "rep_id")
     s = skew.collect()[0]
     assert s["max_bucket"] >= 20  # the hot bucket is visible in lineage stats
     assert s["n_over_cap"] == 0  # default cap is high
@@ -35,11 +35,11 @@ def test_hard_cap_drops_only_oversized_buckets(spark, near_dup_captions):
     ensure_shipped(spark)
     cfg = replace(DEFAULT, bucket_cap=10, hard_cap=True)
     sigs = lsh.with_minhash(near_dup_captions, "caption", cfg)
-    pairs_capped, skew = lsh.minhash_candidates(sigs, "rep_id", cfg)
+    pairs_capped, skew, _ = lsh.minhash_candidates(sigs, "rep_id", cfg)
     s = skew.collect()[0]
     assert s["n_over_cap"] > 0  # the drop is accounted, never silent
     n_capped = pairs_capped.count()
-    pairs_free, _ = lsh.minhash_candidates(sigs, "rep_id", DEFAULT)
+    pairs_free, _, _ = lsh.minhash_candidates(sigs, "rep_id", DEFAULT)
     assert n_capped < pairs_free.count()  # cap actually bounded the blowup
 
 
@@ -52,5 +52,5 @@ def test_viral_exact_dup_never_reaches_lsh(spark):
     uniq = df.groupBy("caption").agg(F.min("image_id").alias("rep_id"))
     assert uniq.count() == 1
     sigs = lsh.with_minhash(uniq.select("rep_id", F.lit("x").alias("caption")), "caption")
-    pairs, _ = lsh.minhash_candidates(sigs, "rep_id")
+    pairs, _, _ = lsh.minhash_candidates(sigs, "rep_id")
     assert pairs.count() == 0
