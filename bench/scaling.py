@@ -8,9 +8,11 @@ share executors, caches, or JIT state. Default N=2 (vs 8): this box reports
 32 vCPUs but saturates at ~16 physical cores' throughput (see the cpu_probe
 in the output — pure-CPU multiprocessing tops out ~6M hashes/s from 16
 workers up), so 8->32 measures hyperthread contention, not cluster scaling;
-2->8 is the hardware-linear region. Usage:
+2->8 is the hardware-linear region. The 8->32 leg is still REPORTED (pass a
+comma list of Ns) so the high-parallelism shuffle/skew behavior is
+quantified next to the hardware ceiling that bounds it. Usage:
 
-    python bench/scaling.py [rows] [N] [min_px] [max_px]
+    python bench/scaling.py [rows] [N[,N2,...]] [min_px] [max_px]
 """
 
 from __future__ import annotations
@@ -83,9 +85,36 @@ def run_at(cores: int, img: str) -> dict:
     raise RuntimeError(f"run at {cores} cores failed:\n{out.stderr[-2000:]}")
 
 
+def run_leg(n_cores: int, img: str, rows: int, repeats: int) -> dict:
+    """One N -> 4N leg: interleaved repeats, per-leg minimum wall."""
+    lo_runs, hi_runs = [], []
+    for r in range(repeats):
+        lo_runs.append(run_at(n_cores, img))
+        hi_runs.append(run_at(n_cores * 4, img))
+        print(
+            f"# leg {n_cores}->{n_cores * 4} round {r}: "
+            f"N={lo_runs[-1]['wall_sec']}s 4N={hi_runs[-1]['wall_sec']}s",
+            file=sys.stderr,
+        )
+    lo = min(lo_runs, key=lambda d: d["wall_sec"])
+    hi = min(hi_runs, key=lambda d: d["wall_sec"])
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / 4
+    return {
+        "repeats": repeats,
+        "N": lo,
+        "fourN": hi,
+        "all_walls": {
+            "N": [d["wall_sec"] for d in lo_runs],
+            "fourN": [d["wall_sec"] for d in hi_runs],
+        },
+        "speedup": round(lo["wall_sec"] / hi["wall_sec"], 2),
+        "efficiency": round(eff, 3),
+    }
+
+
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 240000
-    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_list = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2").split(",")]
     min_px = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     max_px = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 
@@ -101,32 +130,23 @@ def main() -> None:
     # are interleaved and repeated; the per-leg minimum wall is the measure —
     # standard practice for noisy-host benchmarking
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
-    lo_runs, hi_runs = [], []
-    for r in range(repeats):
-        lo_runs.append(run_at(n_cores, img))
-        hi_runs.append(run_at(n_cores * 4, img))
-        print(f"# round {r}: N={lo_runs[-1]['wall_sec']}s 4N={hi_runs[-1]['wall_sec']}s",
-              file=sys.stderr)
-    lo = min(lo_runs, key=lambda d: d["wall_sec"])
-    hi = min(hi_runs, key=lambda d: d["wall_sec"])
-    eff = (lo["wall_sec"] / hi["wall_sec"]) / 4
+    legs = {
+        f"{n}to{n * 4}": run_leg(n, img, rows, repeats) for n in n_list
+    }
+    first = legs[f"{n_list[0]}to{n_list[0] * 4}"]
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency_NtoFourN",
                 "rows": rows,
                 "px": [min_px, max_px],
-                "repeats": repeats,
-                "N": lo,
-                "fourN": hi,
-                "all_walls": {
-                    "N": [d["wall_sec"] for d in lo_runs],
-                    "fourN": [d["wall_sec"] for d in hi_runs],
-                },
-                "speedup": round(lo["wall_sec"] / hi["wall_sec"], 2),
-                "efficiency": round(eff, 3),
+                # top-level fields mirror the FIRST leg (the hardware-linear
+                # region that evidences the gate); extra legs quantify the
+                # high-parallelism regime against the cpu_probe ceiling
+                **{k: first[k] for k in ("repeats", "N", "fourN", "all_walls", "speedup", "efficiency")},
                 "gate": 0.8,
-                "pass": eff >= 0.8,
+                "pass": first["efficiency"] >= 0.8,
+                "legs": legs,
                 "cpu_probe": cpu_probe(),
             }
         )

@@ -7,26 +7,114 @@ persistent key-state table.
 
 Semantics (exact-dup tier, the streaming analog of the pipeline's reps
 stage): a new row joins the cluster of any previously-seen identical caption
-or byte-hash; otherwise it roots a new cluster at its own id. Output and
-state writes are idempotent per micro-batch (state overwritten whole, batch
-output overwritten at its own path), so Spark's checkpoint-replay after a
-crash converges to the same tables. Fuzzy tiers (MinHash/pHash) run as
-periodic batch compaction over the accumulated input — LSH band state is not
-meaningfully incremental at one-row granularity, and the batch pipeline is
-already resumable."""
+or byte-hash; otherwise it roots a new cluster at its own id. Fuzzy tiers
+(MinHash/pHash) run as periodic batch compaction over the accumulated input —
+LSH band state is not meaningfully incremental at one-row granularity, and
+the batch pipeline is already resumable.
+
+State layout (crash-safe, O(touched) I/O per micro-batch):
+
+  key-state is hash-partitioned into N_BUCKETS by pmod(xxhash64(key), B).
+  Each micro-batch READS only the buckets its keys hash into, WRITES merged
+  versions of only those buckets to a fresh `v{batch_id}` directory
+  (partitioned by bucket), and then COMMITS by atomically renaming a JSON
+  manifest that maps bucket -> current parquet dir (the io.py tmp+os.replace
+  pattern). Consequences:
+    - a crash mid-write leaves the old manifest (and old bucket dirs)
+      untouched -> the replayed batch recomputes against intact state and
+      overwrites its own half-written v-dir idempotently;
+    - a MISSING state dir means empty state, but a read error on state the
+      manifest points to RAISES instead of silently resetting accumulated
+      clusters;
+    - per-batch I/O is proportional to the touched buckets, not O(|state|):
+      untouched bucket files are never rewritten (asserted by mtime in
+      tests/test_streaming.py)."""
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .schema import IMAGES
 
+N_BUCKETS = 64
+
+
+class StreamState:
+    """Bucketed key->rep_id state with a manifest-pointer commit protocol."""
+
+    def __init__(self, root: str, n_buckets: int = N_BUCKETS):
+        self.root = root
+        self.n_buckets = n_buckets
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_state_manifest.json")
+
+    def manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None  # missing state == empty state (first batch)
+        with open(p) as f:
+            return json.load(f)  # corrupt manifest RAISES — never silent reset
+
+    def bucket_col(self, key_col: str) -> F.Column:
+        return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
+
+    def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
+        """State rows of the requested buckets only (empty DF when no state).
+
+        Read errors propagate: the manifest is the source of truth, and a
+        path it references that fails to read is corruption, not emptiness."""
+        man = self.manifest()
+        empty = spark.createDataFrame([], "key string, rep_id string")
+        if man is None:
+            return empty
+        paths = [man["buckets"][str(b)] for b in buckets if str(b) in man["buckets"]]
+        if not paths:
+            return empty
+        return spark.read.parquet(*paths).select("key", "rep_id")
+
+    def commit(self, merged: DataFrame, touched: list[int], batch_id: int) -> None:
+        """Write merged state for `touched` buckets to a fresh version dir,
+        then atomically swing the manifest. `merged` carries
+        (key, rep_id, bucket) for exactly the touched buckets."""
+        vdir = os.path.join(self.root, f"v{batch_id:09d}")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        man = self.manifest() or {"n_buckets": self.n_buckets, "buckets": {}}
+        assert man.get("n_buckets", self.n_buckets) == self.n_buckets, (
+            "n_buckets changed mid-stream; state is keyed on it"
+        )
+        replaced = []
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(vdir)
+            if d.startswith("bucket=")
+        }
+        for b in touched:
+            if str(b) not in written:
+                continue  # touched but ended empty (cannot happen today)
+            old = man["buckets"].get(str(b))
+            man["buckets"][str(b)] = os.path.join(vdir, f"bucket={b}")
+            if old:
+                replaced.append(old)
+        man["batch_id"] = batch_id
+        tmp = self._manifest_path() + ".tmp"
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+        # GC superseded bucket dirs AFTER the commit point (a crash here only
+        # leaves orphans; the manifest never references them again)
+        for old in replaced:
+            shutil.rmtree(old, ignore_errors=True)
+
 
 def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
     spark = batch.sparkSession
-    state_dir = os.path.join(warehouse, "stream_state")
+    state = StreamState(os.path.join(warehouse, "stream_state"))
     out_dir = os.path.join(warehouse, "stream_assignments", f"batch_id={batch_id}")
 
     keyed = batch.select(
@@ -34,50 +122,39 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption")).alias("k_exact"),
         F.col("caption").alias("k_caption"),
     )
-    try:
-        state = spark.read.parquet(state_dir)
-        has_state = True
-    except Exception:
-        state = spark.createDataFrame([], "key string, rep_id string")
-        has_state = False
-
     # longest-match: exact (sha+caption) key first, then caption key
-    exploded = keyed.selectExpr("image_id", "stack(2, k_exact, k_caption) AS key")
+    exploded = keyed.selectExpr("image_id", "stack(2, k_exact, k_caption) AS key").withColumn(
+        "bucket", state.bucket_col("key")
+    )
+    touched = sorted(r["bucket"] for r in exploded.select("bucket").distinct().collect())
+    seen = state.read_buckets(spark, touched)
     hit = (
-        exploded.join(F.broadcast(state) if has_state else state, "key", "left")
+        exploded.join(seen, "key", "left")
         .groupBy("image_id")
         .agg(F.min("rep_id").alias("rep_id"))
     )
     # unmatched rows: root at min image_id within the batch's own caption
     # group (caption equality subsumes the sha+caption key, so byte-identical
     # and caption-identical rows of the same batch land in one cluster)
-    assigned = (
-        keyed.join(hit, "image_id", "left")
-        .withColumn(
-            "cluster_id",
-            F.coalesce(
-                F.col("rep_id"), F.min("image_id").over(Window.partitionBy("k_caption"))
-            ),
-        )
+    assigned = keyed.join(hit, "image_id", "left").withColumn(
+        "cluster_id",
+        F.coalesce(
+            F.col("rep_id"), F.min("image_id").over(Window.partitionBy("k_caption"))
+        ),
     )
     out = assigned.select("image_id", "cluster_id")
     out.write.mode("overwrite").parquet(out_dir)
 
-    # fold this batch's keys into the state (idempotent overwrite)
-    new_keys = (
-        assigned.selectExpr("cluster_id AS rep_id", "stack(2, k_exact, k_caption) AS key")
-        .groupBy("key")
-        .agg(F.min("rep_id").alias("rep_id"))
-    )
+    # fold this batch's keys into the TOUCHED buckets only; min(rep_id) keeps
+    # the merge idempotent under checkpoint replay
+    new_keys = assigned.selectExpr("cluster_id AS rep_id", "stack(2, k_exact, k_caption) AS key")
     merged = (
-        state.unionByName(new_keys)
+        seen.unionByName(new_keys)
         .groupBy("key")
         .agg(F.min("rep_id").alias("rep_id"))
+        .withColumn("bucket", state.bucket_col("key"))
     )
-    tmp = state_dir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    merged_back = spark.read.parquet(tmp)
-    merged_back.write.mode("overwrite").parquet(state_dir)
+    state.commit(merged, touched, batch_id)
 
 
 def incremental_dedup_stream(
