@@ -32,6 +32,11 @@ HEADLINE = [
     "q27_minhash_verified_pairs",
     "q28_connected_components",
     "q29_winnow_substring_pass",
+    # round 2 additions (new operator families; r01 keys above are unchanged
+    # so per-query deltas stay comparable)
+    "q40_error_categories",
+    "q41_tight_clusters",
+    "q43_batch_ann_topk",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "60000"))

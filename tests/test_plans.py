@@ -82,3 +82,18 @@ def test_jaccard_verify_is_jvm_only(spark):
     )
     assert "EvalPython" not in p
     assert "array_intersect" in p
+
+
+def test_batch_topk_broadcasts_probes(spark):
+    """ann.batch_topk must broadcast the probe side (never shuffle the
+    corpus against it) and stay JVM-side end to end."""
+    p = _plan(spark, "q43_batch_ann_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_error_categorization_is_jvm_only(spark):
+    """categorize_errors is a Catalyst CASE — no Python in the plan."""
+    p = _plan(spark, "q40_error_categories")
+    assert "EvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final rollup
