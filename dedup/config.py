@@ -59,6 +59,12 @@ class DedupConfig:
     # large-star/small-star loop. Both paths are oracle-tested identical.
     cc_driver_edge_threshold: int = 1_000_000
     cc_driver_max_bytes: int = 64 * 1024 * 1024
+    # inter_mean_dist (metrics stage) exact-scores a deterministic 1-in-K
+    # hash-sample of the near-miss candidates: the statistic is a mean, and
+    # exact-scoring EVERY failed candidate just for a quality metric would
+    # cost another full verify pass at corpus scale. 1 = exact (no sample).
+    # Affects only the reported metric, never which pairs are duplicates.
+    metrics_inter_sample_mod: int = 8
 
     def config_hash(self) -> str:
         """Stable hash of the config — stage manifests store it so resume can

@@ -299,7 +299,16 @@ class Pipeline:
                 .groupBy("cluster_id")
                 .agg(F.round(1 - F.avg("score"), 4).alias("rep_mean_dist"))
             )
-            scored_cand = verify.verify_jaccard(cand, sigs, "rep_id", cfg, all_scores=True)
+            # deterministic 1-in-K hash-sample of candidates for the
+            # inter-distance statistic (cfg.metrics_inter_sample_mod; the
+            # mean is unbiased under a hash sample and the exact-Jaccard
+            # verify over every failed candidate is the expensive part)
+            cand_sample = cand
+            if cfg.metrics_inter_sample_mod > 1:
+                cand_sample = cand.where(
+                    F.pmod(F.xxhash64("id_a", "id_b"), F.lit(cfg.metrics_inter_sample_mod)) == 0
+                )
+            scored_cand = verify.verify_jaccard(cand_sample, sigs, "rep_id", cfg, all_scores=True)
             cross = (
                 scored_cand.join(asg_a.select("id_a", "cluster_id"), "id_a")
                 .join(
