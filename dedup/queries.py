@@ -1229,6 +1229,52 @@ def q41(spark, sf):
     )
 
 
+@q(
+    "q44_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 500)
+       OR (lang = 'de' AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 250)
+       OR (lang = 'fr' AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000 < 100)
+    """,
+)
+def q44(spark, sf):
+    """R5 stratified sample, engine-portable form (splits.stratified_sample):
+    per-stratum md5-bucket selection — a pure function of (key, stratum,
+    fraction), so the kept ROW SET (not just its size) is identical across
+    engines, reruns, and parallelism, unlike RNG-based sampleBy (whose stock
+    behavior is evidenced in tests/test_stock_ops.py). Reference semantics:
+    cluster_split.py:294-313."""
+    from .splits import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1})
+
+
+@q(
+    "q45_bpe_ish_tokens",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_number_runs
+    FROM documents
+    """,
+)
+def q45(spark, sf):
+    """Token counting, BPE-ish regex form (letter runs / digit runs /
+    single punctuation — the pre-tokenizer split rule shape) next to q14's
+    whitespace count. Pure regexp_extract_all on both engines; the pattern
+    stays in the portable RE subset (char classes + alternation)."""
+    d = _t(spark, sf, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    nums = F.expr(r"regexp_extract_all(lower(text), '[0-9]+', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(nums).cast("bigint").alias("n_number_runs"),
+    )
+
+
 def _q40_sql() -> str:
     from .evaluation import error_category_expr, meaningful_tokens_expr
 

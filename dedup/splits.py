@@ -45,6 +45,25 @@ def assign_splits(
     return assignments.withColumn("split", expr.otherwise(list(weights)[-1]))
 
 
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """R5 stratified sample with ENGINE-PORTABLE determinism (reference
+    cluster_split.py:294-313 / sklearn stratified split role): keep a row iff
+    its md5 key-bucket falls below its stratum's fraction. Unlike
+    df.sampleBy (partitioning-dependent RNG), the kept set is a pure function
+    of (key, stratum, fractions) — identical across engines, parallelism
+    levels and reruns, so the DuckDB oracle reproduces it bit-for-bit.
+    Strata missing from `fractions` are dropped (fraction 0)."""
+    buckets = 1000
+    b = _bucket(F.col(key_col), buckets)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(stratum_col) == stratum) & (b < F.lit(int(round(frac * buckets))))
+        expr = cond if expr is None else expr | cond
+    return df.where(expr if expr is not None else F.lit(False))
+
+
 def leak_audit(split_df: DataFrame, group_col: str = "cluster_id") -> DataFrame:
     """Groups spanning >1 split — MUST be empty (reference C8 audit)."""
     return (

@@ -98,3 +98,28 @@ def test_evaluate_checks(spark):
     m = evaluate_checks(checks, pairs).first()
     # predicted: ab yes (tp), cd yes (tp), ac no (tn), bd no (fn)
     assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (2, 0, 1, 1)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """splits.stratified_sample: exact same ROW SET on rerun (pure function
+    of key/stratum/fraction), per-stratum rates near target, unlisted strata
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from dedup.splits import stratified_sample
+
+    df = spark.range(0, 6000).select(
+        F.col("id"), F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("xx")), (F.col("id") % 3 + 1).cast("int")).alias("lang")
+    )
+    frac = {"en": 0.5, "de": 0.2}
+    a = sorted(r["id"] for r in stratified_sample(df, "id", "lang", frac).collect())
+    b = sorted(r["id"] for r in stratified_sample(df, "id", "lang", frac).collect())
+    assert a == b and a
+    counts = (
+        stratified_sample(df, "id", "lang", frac)
+        .groupBy("lang").count().collect()
+    )
+    by = {r["lang"]: r["count"] for r in counts}
+    assert "xx" not in by
+    assert abs(by["en"] / 2000 - 0.5) < 0.06
+    assert abs(by["de"] / 2000 - 0.2) < 0.06
