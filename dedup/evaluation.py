@@ -199,6 +199,38 @@ def error_category_rollup(errors: DataFrame, score_col: str = "score") -> DataFr
     )
 
 
+def load_checks_yaml(spark, path: str, schemas: list[str] | None = None):
+    """S6 YAML golden-checks source (reference checks_evaluation.py:23-69):
+    a `{checks: [{match, schema, label, query: {name}, candidate: {name}}]}`
+    document -> DataFrame(query_id, candidate_id, match, schema, label).
+    `schemas` filters like the reference's filter_checks_by_schema. Gated
+    behind an import-try per the sandbox rules (pyyaml IS present here)."""
+    try:
+        import yaml
+    except ImportError as e:  # pragma: no cover - yaml is in this sandbox
+        raise NotImplementedError(
+            "load_checks_yaml needs pyyaml; install it or build the checks "
+            "DataFrame directly with spark.createDataFrame"
+        ) from e
+    with open(path, encoding="utf-8") as f:
+        checks = (yaml.safe_load(f) or {}).get("checks", [])
+    if schemas is not None:
+        checks = [c for c in checks if c.get("schema") in schemas]
+    rows = [
+        (
+            (c.get("query") or {}).get("name", ""),
+            (c.get("candidate") or {}).get("name", ""),
+            bool(c.get("match")),
+            c.get("schema", ""),
+            str(c.get("label", "")),
+        )
+        for c in checks
+    ]
+    return spark.createDataFrame(
+        rows, "query_id string, candidate_id string, match boolean, schema string, label string"
+    )
+
+
 def evaluate_checks(
     checks: DataFrame, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

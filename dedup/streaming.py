@@ -157,6 +157,29 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
     state.commit(merged, touched, batch_id)
 
 
+def compact_fuzzy(
+    spark: SparkSession, input_dir: str, warehouse: str, run_id: str = "compact0",
+    cfg=None,
+) -> DataFrame:
+    """Periodic batch compaction of the FUZZY dedup tiers over everything
+    landed so far. The exact tier is incremental per micro-batch (above);
+    MinHash/pHash band state is not meaningfully incremental at one-row
+    granularity, so the full batch pipeline — already resumable mid-band —
+    runs over the accumulated landing dir. Its assignments supersede the
+    stream's exact-tier table (they refine it: exact-dup edges are a subset
+    of the pipeline's edge set, so compacted clusters only merge, never
+    split, stream clusters). Committed with full lineage under
+    {warehouse}/compact/{run_id}; rerunning after more arrivals resumes from
+    the first stage whose input changed (fresh run_id) or skips completed
+    stages (same run_id)."""
+    from .config import DEFAULT
+    from .pipeline import Pipeline
+
+    images = spark.read.parquet(input_dir)
+    pipe = Pipeline(os.path.join(warehouse, "compact", run_id), cfg=cfg or DEFAULT, run_id=run_id)
+    return pipe.run(spark, images)
+
+
 def incremental_dedup_stream(
     spark: SparkSession, input_dir: str, warehouse: str, checkpoint: str,
     available_now: bool = True,
