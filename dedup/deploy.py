@@ -23,6 +23,16 @@ def package_zip() -> str:
     import hashlib
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported FROM an archive (spark-submit --py-files): the
+        # enclosing zip IS the package — ship it as-is instead of listing
+        # inside it (os.listdir can't enter a zip)
+        archive = pkg_dir
+        while archive and not os.path.exists(archive):
+            archive = os.path.dirname(archive)
+        if os.path.isfile(archive) and zipfile.is_zipfile(archive):
+            return archive
+        raise RuntimeError(f"cannot locate the dedup package archive from {pkg_dir}")
     files = sorted(f for f in os.listdir(pkg_dir) if f.endswith(".py"))
     h = hashlib.sha256()
     for fn in files:
