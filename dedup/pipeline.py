@@ -13,8 +13,11 @@ the config hash — BASELINE.json "resumes mid-band"):
                   family (one caption on 5% of rows) collapses to ONE node
                   before any quadratic band bucket can form.
   signatures      unique captions -> shingles + 128-perm MinHash (Arrow UDFs)
-  cand_minhash    LSH band self-join -> candidate caption pairs (+ skew stats)
-  edges_minhash   exact-Jaccard verify (JVM array_intersect)
+  scored_minhash  FUSED LSH band self-join + exact-Jaccard verify
+                  (lsh.minhash_scored_band): shingles ride the banded rows so
+                  the raw candidate set is never materialized; keeps verified
+                  pairs + a hash-sample of near-misses (+ skew stats)
+  edges_minhash   threshold filter over scored_minhash (cheap projection)
   edges_simhash   pHash chunk LSH + exact Hamming verify (JVM bit_count)
   edges_substring winnowing + per-bucket suffix-array pass (applyInPandas)
   pairs           all verified pairs (FIXTURES.md F2 shape)
@@ -40,11 +43,11 @@ STAGES = [
     "keys",
     "reps",
     "signatures",
-    "cand_minhash_b00_07",
-    "cand_minhash_b08_15",
-    "cand_minhash_b16_23",
-    "cand_minhash_b24_31",
-    "cand_minhash",
+    "scored_minhash_b00_07",
+    "scored_minhash_b08_15",
+    "scored_minhash_b16_23",
+    "scored_minhash_b24_31",
+    "scored_minhash",
     "edges_minhash",
     "edges_simhash",
     "edges_substring",
@@ -173,18 +176,23 @@ class Pipeline:
 
         sigs = self._stage(spark, "signatures", build_sigs)
 
-        # ---- stage: minhash candidates, committed per band group ---------
+        # ---- stage: fused LSH + verify, committed per band group ---------
         # the LSH pass runs (and checkpoints) one band group at a time, each
         # with its own manifest carrying [band_lo, band_hi] — a job killed in
-        # group k resumes at group k, not at band 0 ("resumes mid-band")
+        # group k resumes at group k, not at band 0 ("resumes mid-band").
+        # Each group commits SCORED pairs (verified >= threshold, plus a
+        # deterministic hash-sample of rejects for the inter-cluster metric):
+        # the raw candidate set never hits a shuffle, a distinct, or disk.
         group_dfs = []
         rows_per_group = max(1, cfg.lsh_bands // self.band_groups)
         for g in range(0, cfg.lsh_bands, rows_per_group):
             lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
             cached: list[DataFrame] = []
 
-            def build_cand(lo=lo, hi=hi, cached=cached):
-                pairs, skew, banded = lsh.minhash_candidates(sigs, "rep_id", cfg, lo, hi)
+            def build_scored(lo=lo, hi=hi, cached=cached):
+                pairs, skew, banded = lsh.minhash_scored_band(
+                    sigs, "rep_id", cfg, lo, hi, sample_mod=cfg.metrics_inter_sample_mod
+                )
                 cached.append(banded)
                 stats = {
                     k: (float(v) if v is not None else None)
@@ -193,25 +201,27 @@ class Pipeline:
                 return pairs, {"skew": stats}
 
             group_dfs.append(
-                self._stage(spark, f"cand_minhash_b{lo:02d}_{hi:02d}", build_cand,
+                self._stage(spark, f"scored_minhash_b{lo:02d}_{hi:02d}", build_scored,
                             band_lo=lo, band_hi=hi)
             )
             # the stage write has committed: release this group's banded cache
             for b in cached:
                 b.unpersist()
 
-        def build_cand_union() -> DataFrame:
+        def build_scored_union() -> DataFrame:
             out = group_dfs[0]
             for d in group_dfs[1:]:
                 out = out.unionByName(d)
             return out.distinct()
 
-        cand = self._stage(spark, "cand_minhash", build_cand_union)
+        scored = self._stage(spark, "scored_minhash", build_scored_union)
 
-        # ---- stage: verified minhash edges -------------------------------
+        # ---- stage: verified minhash edges (threshold projection) --------
         edges_mh = self._stage(
             spark, "edges_minhash",
-            lambda: verify.verify_jaccard(cand, sigs, "rep_id", cfg),
+            lambda: scored.where(F.col("score") >= cfg.jaccard_threshold).select(
+                "id_a", "id_b", F.lit("minhash").alias("match_type"), "score"
+            ),
             band_lo=0, band_hi=cfg.lsh_bands - 1,
         )
 
@@ -276,12 +286,13 @@ class Pipeline:
         #   rep_mean_dist    mean (1 - score) over pairs touching the cluster
         #                    root (the distance-to-centroid analog: the root
         #                    IS the cluster's representative)
-        #   inter_mean_dist  mean (1 - exact Jaccard) over LSH candidate
-        #                    pairs that FAILED verification across cluster
-        #                    boundaries — the near-miss margin to the nearest
-        #                    other clusters. All three are relational
-        #                    rollups over already-committed stages (pairs,
-        #                    cand, sigs): no new quadratic work.
+        #   inter_mean_dist  mean (1 - exact Jaccard) over the hash-sampled
+        #                    LSH near-misses (scored_minhash rows below the
+        #                    threshold) across cluster boundaries — the
+        #                    margin to the nearest other clusters, priced at
+        #                    sampling time inside the fused band join. All
+        #                    three are relational rollups over
+        #                    already-committed stages: no new verify pass.
         def build_metrics() -> DataFrame:
             asg_a = assignments.withColumnsRenamed({"image_id": "id_a", "cluster_id": "cluster_id"})
             pa = pairs.join(asg_a, "id_a")
@@ -299,18 +310,13 @@ class Pipeline:
                 .groupBy("cluster_id")
                 .agg(F.round(1 - F.avg("score"), 4).alias("rep_mean_dist"))
             )
-            # deterministic 1-in-K hash-sample of candidates for the
-            # inter-distance statistic (cfg.metrics_inter_sample_mod; the
-            # mean is unbiased under a hash sample and the exact-Jaccard
-            # verify over every failed candidate is the expensive part)
-            cand_sample = cand
-            if cfg.metrics_inter_sample_mod > 1:
-                cand_sample = cand.where(
-                    F.pmod(F.xxhash64("id_a", "id_b"), F.lit(cfg.metrics_inter_sample_mod)) == 0
-                )
-            scored_cand = verify.verify_jaccard(cand_sample, sigs, "rep_id", cfg, all_scores=True)
+            # near-misses were hash-sampled and scored INSIDE the fused band
+            # join (cfg.metrics_inter_sample_mod); verified rows become
+            # same-cluster edges, so the below-threshold remainder is
+            # exactly the cross-cluster margin pool
+            near = scored.where(F.col("score") < cfg.jaccard_threshold)
             cross = (
-                scored_cand.join(asg_a.select("id_a", "cluster_id"), "id_a")
+                near.join(asg_a.select("id_a", "cluster_id"), "id_a")
                 .join(
                     assignments.withColumnsRenamed({"image_id": "id_b", "cluster_id": "cb"}),
                     "id_b",

@@ -91,17 +91,17 @@ def test_resume_mid_band(spark, synth_parquet, assignments):
     p = Pipeline(wh)
     before = {
         s: p.wh.manifest(s)["committed_at"]
-        for s in ("cand_minhash_b00_07", "cand_minhash_b08_15")
+        for s in ("scored_minhash_b00_07", "scored_minhash_b08_15")
     }
-    p.wh.invalidate_after("cand_minhash_b16_23", STAGES)
-    assert p.wh.is_complete("cand_minhash_b08_15")
-    assert not p.wh.is_complete("cand_minhash_b16_23")
+    p.wh.invalidate_after("scored_minhash_b16_23", STAGES)
+    assert p.wh.is_complete("scored_minhash_b08_15")
+    assert not p.wh.is_complete("scored_minhash_b16_23")
     images = spark.read.parquet(synth_parquet)
     res2 = {r["image_id"]: r["cluster_id"] for r in p.run(spark, images).collect()}
     assert res2 == res
     for s, ts in before.items():
         assert p.wh.manifest(s)["committed_at"] == ts  # untouched, not recomputed
-    assert p.wh.manifest("cand_minhash_b16_23")["band_lo"] == 16
+    assert p.wh.manifest("scored_minhash_b16_23")["band_lo"] == 16
 
 
 def test_config_change_invalidates(spark, synth_parquet, tmp_path_factory, assignments):
@@ -154,6 +154,6 @@ def test_skew_stats_in_manifest(assignments):
     _, wh = assignments
     from dedup.io import Warehouse
 
-    man = Warehouse(wh, "x").manifest("cand_minhash_b00_07")
+    man = Warehouse(wh, "x").manifest("scored_minhash_b00_07")
     assert man and "skew" in man and man["skew"]["max_bucket"] >= 1
     assert man["band_lo"] == 0 and man["band_hi"] == 7
