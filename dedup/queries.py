@@ -917,9 +917,14 @@ def q33(spark, sf):
     return lsh_near_pairs(e, dim=dim, threshold=0.4, bits=4, tables=24)
 
 
-@q(
-    "q37_caption_variants",
-    """
+def _q37_sql() -> str:
+    # the stopword filter is rendered from signatures.STOPWORDS via the SAME
+    # fragment helper the Spark side uses (evaluation.meaningful_tokens_expr),
+    # so an edit to the stopword list can never desynchronize the oracle twin
+    from .evaluation import meaningful_tokens_expr
+
+    mw = meaningful_tokens_expr("text", "duck")
+    return f"""
     SELECT doc_id, 'lower' AS kind, lower(text) AS variant FROM documents WHERE doc_id < 50
     UNION ALL
     SELECT doc_id, 'sorted' AS kind,
@@ -928,18 +933,12 @@ def q33(spark, sf):
     UNION ALL
     SELECT doc_id, 'initials' AS kind,
            array_to_string(list_transform(mw, w -> upper(substr(w, 1, 1))), '') AS variant
-    FROM (
-      SELECT doc_id,
-             list_filter(string_split(lower(text), ' '),
-                         w -> length(w) > 1 AND NOT list_contains(
-                           ['the','and','of','a','an','in','on','for','to','at','by','or',
-                            'as','is','es','i','der','die','das','und','ein','la','le','el',
-                            'los','las','de','du','des','van','von','den','do','da','dos',
-                            'di','il'], w)) AS mw
-      FROM documents WHERE doc_id < 50)
+    FROM (SELECT doc_id, {mw} AS mw FROM documents WHERE doc_id < 50)
     WHERE length(mw) >= 2
-    """,
-)
+    """
+
+
+@q("q37_caption_variants", _q37_sql())
 def q37(spark, sf):
     """D1 pattern: Arrow pandas_udf returning array<struct> + explode (the
     reference's augment.py:20-31 abbreviation generator, re-expressed as

@@ -36,7 +36,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schema import IMAGES
 
@@ -80,25 +80,39 @@ class StreamState:
     def commit(self, merged: DataFrame, touched: list[int], batch_id: int) -> None:
         """Write merged state for `touched` buckets to a fresh version dir,
         then atomically swing the manifest. `merged` carries
-        (key, rep_id, bucket) for exactly the touched buckets."""
+        (key, rep_id, bucket) for exactly the touched buckets.
+
+        Replay-safe: if a crash lands between the manifest swing and Spark's
+        checkpoint commit, the replayed batch arrives here with a batch_id the
+        manifest has ALREADY folded (the min-merge is idempotent). Re-running
+        the write would target v{batch_id} — the very dirs the manifest points
+        at — and mode=overwrite would delete the only copy of the touched
+        buckets before the (lazy) state read ran. So a committed batch_id is
+        an early return, never a rewrite."""
+        man = self.manifest()
+        if man is not None and man.get("batch_id") is not None and man["batch_id"] >= batch_id:
+            return  # checkpoint-replay of an already-committed batch
         vdir = os.path.join(self.root, f"v{batch_id:09d}")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
-        man = self.manifest() or {"n_buckets": self.n_buckets, "buckets": {}}
+        man = man or {"n_buckets": self.n_buckets, "buckets": {}}
         assert man.get("n_buckets", self.n_buckets) == self.n_buckets, (
             "n_buckets changed mid-stream; state is keyed on it"
         )
         replaced = []
+        # which buckets actually materialized: partition discovery on the
+        # version dir (works on any Hadoop-compatible FS — no os.listdir, so
+        # an HDFS/S3 warehouse commits identically to a local one)
         written = {
-            d.split("=", 1)[1]
-            for d in os.listdir(vdir)
-            if d.startswith("bucket=")
+            str(r["bucket"])
+            for r in merged.sparkSession.read.parquet(vdir).select("bucket").distinct().collect()
         }
         for b in touched:
             if str(b) not in written:
                 continue  # touched but ended empty (cannot happen today)
             old = man["buckets"].get(str(b))
-            man["buckets"][str(b)] = os.path.join(vdir, f"bucket={b}")
-            if old:
+            new = os.path.join(vdir, f"bucket={b}")
+            man["buckets"][str(b)] = new
+            if old and old != new:  # never GC the dir just committed
                 replaced.append(old)
         man["batch_id"] = batch_id
         tmp = self._manifest_path() + ".tmp"
@@ -110,6 +124,26 @@ class StreamState:
         # leaves orphans; the manifest never references them again)
         for old in replaced:
             shutil.rmtree(old, ignore_errors=True)
+
+
+def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
+    """cluster_id per batch row: state hit wins, else min image_id within the
+    batch's own caption group (caption equality subsumes the sha+caption key,
+    so byte-identical and caption-identical rows of one batch land together).
+
+    Shape: groupBy-min + BROADCAST join, the batch pipeline's reps-stage
+    pattern — a window partitioned by caption would sort every same-caption
+    row of the micro-batch in ONE task (a viral caption = one straggler),
+    while the groupBy partial-aggregates map-side and the broadcast join
+    leaves the big side's rows in place (micro-batches bound the distinct-
+    caption table, so the broadcast is always small). Plan-pinned windowless
+    in tests/test_streaming.py."""
+    batch_roots = keyed.groupBy("k_caption").agg(F.min("image_id").alias("batch_root"))
+    return (
+        keyed.join(hit, "image_id", "left")
+        .join(F.broadcast(batch_roots), "k_caption", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("rep_id"), F.col("batch_root")))
+    )
 
 
 def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
@@ -133,15 +167,7 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         .groupBy("image_id")
         .agg(F.min("rep_id").alias("rep_id"))
     )
-    # unmatched rows: root at min image_id within the batch's own caption
-    # group (caption equality subsumes the sha+caption key, so byte-identical
-    # and caption-identical rows of the same batch land in one cluster)
-    assigned = keyed.join(hit, "image_id", "left").withColumn(
-        "cluster_id",
-        F.coalesce(
-            F.col("rep_id"), F.min("image_id").over(Window.partitionBy("k_caption"))
-        ),
-    )
+    assigned = _batch_assignments(keyed, hit)
     out = assigned.select("image_id", "cluster_id")
     out.write.mode("overwrite").parquet(out_dir)
 

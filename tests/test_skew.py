@@ -54,3 +54,21 @@ def test_viral_exact_dup_never_reaches_lsh(spark):
     sigs = lsh.with_minhash(uniq.select("rep_id", F.lit("x").alias("caption")), "caption")
     pairs, _, _ = lsh.minhash_candidates(sigs, "rep_id")
     assert pairs.count() == 0
+
+
+def test_hard_cap_returns_the_persisted_handle(spark, near_dup_captions):
+    """With hard_cap=True the returned handle must be the PERSISTED banded
+    frame, not the bucket-filtered child — unpersisting a derived DataFrame
+    is a no-op and would pin the exploded-band cache for the whole app."""
+    ensure_shipped(spark)
+    cfg = replace(DEFAULT, bucket_cap=10, hard_cap=True)
+    sigs = lsh.with_minhash(lsh.with_shingles(near_dup_captions, "caption", cfg), "caption", cfg)
+    for fn in (lsh.minhash_candidates, lsh.minhash_scored_band):
+        pairs, _, handle = fn(sigs, "rep_id", cfg)
+        pairs.count()  # materialize the cache
+        assert handle.is_cached
+        n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n_before >= 1
+        handle.unpersist(blocking=True)
+        assert not handle.is_cached
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before - 1

@@ -116,3 +116,83 @@ def test_corrupt_state_raises_not_resets(spark, tmp_path):
     q = incremental_dedup_stream(spark, str(landing), wh, str(tmp_path / "c2"))
     with pytest.raises(Exception, match="PATH_NOT_FOUND|StreamingQueryException|does not exist"):
         q.awaitTermination()
+
+
+def test_commit_replay_same_batch_id_is_idempotent(spark, tmp_path):
+    """Crash between the manifest swing and Spark's checkpoint commit replays
+    the batch with the SAME batch_id. The replayed commit must be a no-op
+    (the min-merge already folded the batch): re-running the v{batch_id}
+    overwrite would delete the very bucket dirs the manifest points at while
+    the state read is still lazy — permanent state loss."""
+    import json
+
+    from dedup.streaming import _assign_batch
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = synth.generate(80, seed=17)
+    pq.write_table(synth.to_arrow(rows), str(landing / "a.parquet"))
+    batch = spark.read.parquet(str(landing))
+    wh = str(tmp_path / "wh")
+
+    _assign_batch(batch, 0, wh)
+    man_path = os.path.join(wh, "stream_state", "_state_manifest.json")
+    with open(man_path) as f:
+        man1 = json.load(f)
+    asg_dir = os.path.join(wh, "stream_assignments")
+    got1 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+
+    _assign_batch(batch, 0, wh)  # checkpoint replay, same batch_id
+    with open(man_path) as f:
+        man2 = json.load(f)
+    assert man2["buckets"] == man1["buckets"]  # pointers unswung
+    for d in man2["buckets"].values():
+        assert os.path.isdir(d), f"replay destroyed committed state dir {d}"
+    got2 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got2 == got1  # replayed assignments byte-identical
+
+    # and the NEXT batch still reads intact state: a late exact copy joins
+    # the original row's cluster
+    one = dict(rows[0])
+    one["image_id"] = "zreplay0001"
+    pq.write_table(synth.to_arrow([one]), str(tmp_path / "b.parquet"))
+    _assign_batch(spark.read.parquet(str(tmp_path / "b.parquet")), 1, wh)
+    got3 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got3["zreplay0001"] == got1[rows[0]["image_id"]]
+
+
+def test_viral_caption_batch_plans_no_window(spark):
+    """A single viral caption in a micro-batch must not become a one-task
+    window sort: the batch-root assignment is a groupBy-min + broadcast join
+    (reps-stage shape), plan-pinned windowless here."""
+    from dedup.streaming import _batch_assignments
+
+    keyed = spark.createDataFrame(
+        [(f"i{k:05d}", f"e{k}", "same caption for everyone") for k in range(500)],
+        "image_id string, k_exact string, k_caption string",
+    )
+    hit = spark.createDataFrame([("i00007", "i00001")], "image_id string, rep_id string")
+    assigned = _batch_assignments(keyed, hit)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    got = {r["image_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got["i00007"] == "i00001"  # state hit wins
+    rest = {v for k, v in got.items() if k != "i00007"}
+    assert rest == {"i00000"}  # everyone else rooted at the batch min id
+
+
+def test_single_caption_micro_batch_one_cluster(spark, tmp_path):
+    """End-to-end: a micro-batch that is ONE caption repeated lands in one
+    cluster rooted at the min image_id."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = synth.generate(60, seed=23)
+    for r in rows:
+        r["caption"] = "the same viral caption shared by every row of this batch"
+    pq.write_table(synth.to_arrow(rows), str(landing / "a.parquet"))
+    wh = str(tmp_path / "wh")
+    incremental_dedup_stream(spark, str(landing), wh, str(tmp_path / "ckpt")).awaitTermination()
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert set(got.values()) == {min(got)}
