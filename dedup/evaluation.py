@@ -75,6 +75,77 @@ def best_threshold(
     )
 
 
+def auc_roc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """One row (auc, n_pos, n_neg): area under the ROC curve, Mann-Whitney
+    rank-sum form with exact tie handling — identical to trapezoidal
+    roc_auc_score (the reference's metric,
+    /root/reference/eridu/etl/evaluate.py:209, SURVEY.md §5 'threshold sweep
+    + AUC-ROC'):
+
+        AUC = sum over distinct scores s of n_pos(s) * (N_below(s) + n_neg(s)/2)
+              / (n_pos * n_neg)
+
+    i.e. every (pos, neg) pair contributes 1 if pos scores higher, 1/2 on a
+    tie. Scale shape: the input reduces by ONE groupBy on the score value
+    before any ordering, so the unpartitioned running-total window runs over
+    DISTINCT scores only — similarity scores are quantized in practice
+    (round before calling at extreme cardinalities), so the windowed table
+    is tiny regardless of corpus size; the big table is touched exactly once
+    by a partial-aggregating groupBy. NULL AUC when either class is absent."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("boolean")
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("np_s"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("nn_s"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cum_nn", F.coalesce(F.sum("nn_s").over(w), F.lit(0)))
+    return c.agg(
+        F.round(
+            F.try_divide(  # single-class input -> NULL, not an ANSI error
+                F.sum(F.col("np_s") * (F.col("cum_nn") + F.col("nn_s") / F.lit(2.0))),
+                F.sum("np_s") * F.sum("nn_s"),
+            ),
+            6,
+        ).alias("auc"),
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+        F.sum("nn_s").cast("bigint").alias("n_neg"),
+    )
+
+
+def eval_results(
+    scored: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    label_col: str = "label",
+    steps: int = 101,
+) -> DataFrame:
+    """Per-row evaluation-results table — the reference's
+    test_results.parquet shape (id_a, id_b, similarity, true_label,
+    best_threshold, predicted_match, correct_prediction)
+    (/root/reference/eridu/train/fine_tune_sbert.py:596-633, data model
+    §1.1(d)): the argmax-F1 threshold is computed once (best_threshold) and
+    broadcast onto every scored pair, so the table a user inspects/exports
+    carries the decision AND whether it was right."""
+    bt = best_threshold(scored, score_col, label_col, steps).select("threshold")
+    return (
+        scored.crossJoin(F.broadcast(bt))
+        .select(
+            F.col(id_a).alias("id_a"),
+            F.col(id_b).alias("id_b"),
+            F.col(score_col).alias("similarity"),
+            F.col(label_col).cast("boolean").alias("true_label"),
+            F.col("threshold").alias("best_threshold"),
+            (F.col(score_col) >= F.col("threshold")).alias("predicted_match"),
+        )
+        .withColumn("correct_prediction", F.col("predicted_match") == F.col("true_label"))
+    )
+
+
 # --------------------------------------------------- error-category analysis
 # Reference semantics: evaluation exports categorized FP/FN tables and a
 # per-category prominence report
@@ -197,6 +268,24 @@ def error_category_rollup(errors: DataFrame, score_col: str = "score") -> DataFr
         F.round(F.min(s), 4).alias("min_score"),
         F.round(F.max(s), 4).alias("max_score"),
     )
+
+
+def export_error_categories(errors: DataFrame, out_dir: str) -> DataFrame:
+    """Categorize an FP/FN errors table and export one CSV directory per
+    category — the reference's per-category error files
+    (/root/reference/eridu/etl/checks_evaluation.py:311-334, one
+    errors_<category>.csv each). A partitionBy write produces the
+    per-category layout in ONE distributed pass (no driver-side loop over
+    categories); returns the categorized frame so callers can roll it up
+    with error_category_rollup against the same rows that were written."""
+    cat = errors if "error_category" in errors.columns else categorize_errors(errors)
+    (
+        cat.write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("error_category")
+        .csv(out_dir)
+    )
+    return cat
 
 
 def load_checks_yaml(spark, path: str, schemas: list[str] | None = None):

@@ -54,7 +54,46 @@ STAGES = [
     "pairs",
     "assignments",
     "metrics",
+    "member_scores",
 ]
+
+
+def member_scores(assignments: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-member outlier/probability analogs of the reference's
+    cluster_results columns (`outlier_score`, `cluster_probability` —
+    /root/reference/eridu/etl/analyze.py:53-67). HDBSCAN-free relational
+    semantics over the already-verified pair table:
+
+      outlier_score        member's mean pair distance (1 - score) over the
+                           verified pairs touching it — 0.0 for singletons
+      cluster_probability  1 - outlier_score normalized by the cluster's
+                           max member distance (the least-typical member of
+                           a cluster gets 0.0; every member of an all-exact
+                           cluster, and every singleton, gets 1.0)
+
+    Shapes: endpoint-union -> groupBy(member) -> groupBy(cluster) max ->
+    joins on (image_id, cluster_id) — partial-aggregated and AQE-planned,
+    no windows, no per-row Python."""
+    d = (1 - F.col("score")).alias("d")
+    ends = pairs.select(F.col("id_a").alias("image_id"), d).unionByName(
+        pairs.select(F.col("id_b").alias("image_id"), d)
+    )
+    md = ends.groupBy("image_id").agg(F.avg("d").alias("m"))
+    j = assignments.join(md, "image_id", "left").na.fill({"m": 0.0})
+    mx = j.groupBy("cluster_id").agg(F.max("m").alias("mx"))
+    return j.join(mx, "cluster_id").select(
+        "image_id",
+        "cluster_id",
+        F.round("m", 4).alias("outlier_score"),
+        # + 0.0 normalizes IEEE -0.0 (the cluster-max member rounds to zero
+        # from below when the two j-branch AVGs differ by an ulp)
+        (
+            F.round(
+                F.when(F.col("mx") > 0, 1 - F.col("m") / F.col("mx")).otherwise(F.lit(1.0)), 4
+            )
+            + F.lit(0.0)
+        ).alias("cluster_probability"),
+    )
 
 
 class Pipeline:
@@ -339,6 +378,9 @@ class Pipeline:
             )
 
         self._stage(spark, "metrics", build_metrics)
+
+        # ---- stage: per-member outlier/probability (cluster_results shape) --
+        self._stage(spark, "member_scores", lambda: member_scores(assignments, pairs))
         return assignments
 
     @staticmethod

@@ -1120,6 +1120,85 @@ def q35(spark, sf):
 
 
 @q(
+    "q46_auc_roc",
+    """
+    WITH scored AS (
+      SELECT CAST(n_chars AS DOUBLE) / 500.0 AS score, lang = 'en' AS label FROM documents),
+    g AS (
+      SELECT score AS s,
+             SUM(CASE WHEN label THEN 1 ELSE 0 END) AS np_s,
+             SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS nn_s
+      FROM scored GROUP BY score),
+    c AS (
+      SELECT *, COALESCE(SUM(nn_s) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cum_nn
+      FROM g)
+    SELECT ROUND(SUM(np_s * (cum_nn + nn_s / 2.0)) / (SUM(np_s) * SUM(nn_s)), 6) AS auc,
+           CAST(SUM(np_s) AS BIGINT) AS n_pos, CAST(SUM(nn_s) AS BIGINT) AS n_neg
+    FROM c
+    """,
+)
+def q46(spark, sf):
+    """AUC-ROC, Mann-Whitney rank-sum form with exact tie handling
+    (evaluation.auc_roc) — the reference's roc_auc_score metric
+    (/root/reference/eridu/etl/evaluate.py:209) as a pure relational
+    operator: one partial-aggregating groupBy over the scores, then a
+    running-total window over DISTINCT score values only."""
+    from .evaluation import auc_roc
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        (F.col("n_chars").cast("double") / 500.0).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return auc_roc(scored)
+
+
+@q(
+    "q47_eval_results_table",
+    """
+    WITH scored AS (
+      SELECT doc_id AS id_a, doc_id % 97 AS id_b,
+             CAST(n_chars AS DOUBLE) / 500.0 AS score, lang = 'en' AS label
+      FROM documents),
+    sweep AS (
+      SELECT ROUND(CAST(r.i AS DOUBLE) / 100, 4) AS threshold,
+             SUM(CASE WHEN label AND score >= CAST(r.i AS DOUBLE) / 100 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN NOT label AND score >= CAST(r.i AS DOUBLE) / 100 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN label AND score < CAST(r.i AS DOUBLE) / 100 THEN 1 ELSE 0 END) AS fn
+      FROM scored, range(0, 101) r(i) GROUP BY 1),
+    best AS (
+      SELECT threshold FROM sweep
+      ORDER BY ROUND(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+               / greatest(tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1), 1e-12), 4) DESC,
+               threshold ASC LIMIT 1)
+    SELECT id_a, id_b, score AS similarity, label AS true_label,
+           b.threshold AS best_threshold,
+           score >= b.threshold AS predicted_match,
+           (score >= b.threshold) = label AS correct_prediction
+    FROM scored, best b
+    """,
+)
+def q47(spark, sf):
+    """Per-row evaluation-results table (evaluation.eval_results): the
+    reference persists test_results.parquet with per-pair similarity,
+    true_label, best_threshold, predicted_match, correct_prediction
+    (/root/reference/eridu/train/fine_tune_sbert.py:596-633); here the
+    argmax-F1 threshold is computed once and broadcast onto every scored
+    pair in one pass."""
+    from .evaluation import eval_results
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") % 97).alias("id_b"),
+        (F.col("n_chars").cast("double") / 500.0).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return eval_results(scored)
+
+
+@q(
     "q42_formatted_report",
     """
     SELECT o_orderstatus,
@@ -1229,6 +1308,69 @@ def q41(spark, sf):
         m.join(sz, "source")
         .where((F.col("intra_mean_dist") <= 0.82) & (F.col("size") >= 5))
         .select("source", "size", "n_pairs", "intra_mean_dist")
+    )
+
+
+@q(
+    "q48_member_outlier_scores",
+    """
+    WITH pos AS (
+      SELECT doc_id, source, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents WHERE doc_id < 300),
+    sh AS (
+      SELECT doc_id, source, list(DISTINCT substr(lower(text), CAST(i AS INT), 5)) AS s
+      FROM pos GROUP BY doc_id, source),
+    p AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             1.0 - CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS d
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+    ends AS (SELECT ida AS doc_id, d FROM p UNION ALL SELECT idb AS doc_id, d FROM p),
+    md AS (SELECT doc_id, AVG(d) AS m FROM ends GROUP BY doc_id),
+    j AS (
+      SELECT dd.doc_id, dd.source, COALESCE(md.m, 0.0) AS m
+      FROM (SELECT doc_id, source FROM documents WHERE doc_id < 300) dd
+      LEFT JOIN md ON dd.doc_id = md.doc_id),
+    mx AS (SELECT source, MAX(m) AS mx FROM j GROUP BY source)
+    SELECT j.doc_id AS doc_id, j.source AS source,
+           ROUND(j.m, 4) AS outlier_score,
+           ROUND(CASE WHEN mx.mx > 0 THEN 1 - j.m / mx.mx ELSE 1.0 END, 4) + 0 AS cluster_probability
+    FROM j JOIN mx ON j.source = mx.source
+    """,
+)
+def q48(spark, sf):
+    """Per-member outlier/probability analogs (pipeline.member_scores) over
+    a bounded corpus: clusters keyed on `source` (q41's construction), pair
+    distance = 1 - exact shingle Jaccard, outlier_score = member's mean pair
+    distance, cluster_probability = 1 - normalized by the cluster max —
+    semantics of the reference's cluster_results columns
+    (/root/reference/eridu/etl/analyze.py:53-67). The pipeline-scale path is
+    the committed member_scores stage over verified pairs."""
+    from .pipeline import member_scores
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(lower(text), i, 5))")
+        ).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    score = inter.cast("double") / (F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter)
+    pairs = a.join(
+        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), score.alias("score")
+    )
+    asg = d.select(F.col("doc_id").alias("image_id"), F.col("source").alias("cluster_id"))
+    return member_scores(asg, pairs).select(
+        F.col("image_id").alias("doc_id"),
+        F.col("cluster_id").alias("source"),
+        "outlier_score",
+        "cluster_probability",
     )
 
 
