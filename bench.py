@@ -71,7 +71,7 @@ def main() -> None:
     shutil.rmtree(wh, ignore_errors=True)
     images = spark.read.parquet(img_path)
     t0 = time.time()
-    n_assign = Pipeline(wh).run(spark, images).count()
+    n_assign = Pipeline(wh, band_groups="auto").run(spark, images).count()
     pipeline_sec = time.time() - t0
     timings["pipeline_dedup"] = round(pipeline_sec, 3)
     print(f"# pipeline_dedup: {pipeline_sec:.1f}s ({n_assign} assignments)", file=sys.stderr)

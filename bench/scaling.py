@@ -36,7 +36,10 @@ images.count()  # warm the input file cache out of the timed region
 wh = "/tmp/scale_wh_{cores}"
 shutil.rmtree(wh, ignore_errors=True)
 t0 = time.time()
-n = Pipeline(wh).run(spark, images).count()
+# band_groups="auto": commit granularity sized to the input, so the fixed
+# per-stage commit cost doesn't dilute small-input scaling (mid-band resume
+# still engages at the table sizes where a band group is minutes of work)
+n = Pipeline(wh, band_groups="auto").run(spark, images).count()
 wall = time.time() - t0
 print(json.dumps({{"cores": {cores}, "wall_sec": round(wall, 2),
                    "rows": n, "images_per_sec": round(n / wall, 1)}}))
@@ -112,7 +115,105 @@ def run_leg(n_cores: int, img: str, rows: int, repeats: int) -> dict:
     }
 
 
+_STAGE_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from dedup.session import get_spark
+from dedup import lsh
+from dedup.config import DEFAULT
+spark = get_spark("stage-{cores}", cores={cores})
+spark.sparkContext.setLogLevel("ERROR")
+sigs = spark.read.parquet({sigs!r})
+sigs.count()  # warm the input file cache out of the timed region
+t0 = time.time()
+pairs, _skew, banded = lsh.minhash_scored_band(sigs, "rep_id", DEFAULT, sample_mod=8)
+n = pairs.count()
+wall = time.time() - t0
+banded.unpersist()
+print(json.dumps({{"cores": {cores}, "wall_sec": round(wall, 2), "pairs": n,
+                   "sigs_per_sec": round({n_sigs} / wall, 1)}}))
+spark.stop()
+"""
+
+
+def _prepare_sigs(n_caps: int) -> str:
+    """One-time signature table for the stage bench: n_caps near-dup-family
+    captions (4 members per base, ' vK' suffix variants) generated JVM-side,
+    signed with the pipeline's own Arrow UDFs."""
+    path = f"/tmp/bench_sigs_{n_caps}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    sys.path.insert(0, REPO)
+    from dedup import lsh
+    from dedup.deploy import ensure_shipped
+    from dedup.session import get_spark
+
+    print(f"# generating {n_caps} synthetic signatures...", file=sys.stderr)
+    spark = get_spark("sig-prep", cores=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    base = max(1, n_caps // 4)
+    caps = spark.range(n_caps).selectExpr(
+        "cast(id as string) AS rep_id",
+        "concat(concat_ws(' ', transform(sequence(0, 11), j -> "
+        f"substr(md5(concat(cast(pmod(id, {base}) as string), '-', cast(j as string))), 1, 7))), "
+        "' v', cast(pmod(id, 7) as string)) AS caption",
+    )
+    lsh.with_shingles(lsh.with_minhash(caps, "caption"), "caption").drop("caption").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def stage_main() -> None:
+    """Attribute the 8->32 residual: bench ONE shuffle-heavy stage (the fused
+    LSH band self-join + exact-Jaccard verify) alone at each parallelism
+    level, interleaved with the pure-CPU probe, so pipeline-vs-host
+    contention is separated by measurement. Usage:
+
+        python bench/scaling.py stage [n_captions] [cores,cores,...]
+    """
+    n_caps = int(sys.argv[2]) if len(sys.argv) > 2 else 400000
+    levels = [int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "8,32").split(",")]
+    sigs = _prepare_sigs(n_caps)
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    runs: dict[int, list[dict]] = {n: [] for n in levels}
+    for r in range(repeats):
+        for n in levels:  # interleaved across levels, same as the e2e legs
+            code = _STAGE_SNIPPET.format(repo=REPO, cores=n, sigs=sigs, n_sigs=n_caps)
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+            )
+            line = next((l for l in out.stdout.splitlines() if l.startswith("{")), None)
+            if line is None:
+                raise RuntimeError(f"stage run at {n} failed:\n{out.stderr[-2000:]}")
+            runs[n].append(json.loads(line))
+            print(f"# stage round {r} cores={n}: {runs[n][-1]['wall_sec']}s", file=sys.stderr)
+    best = {n: min(rs, key=lambda d: d["wall_sec"]) for n, rs in runs.items()}
+    ratios = {
+        f"speedup_{a}to{b}": round(best[a]["wall_sec"] / best[b]["wall_sec"], 2)
+        for a in levels for b in levels if b > a
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stage_scaling_fused_band_join",
+                "n_captions": n_caps,
+                "repeats": repeats,
+                "levels": {str(n): {**best[n], "all_walls": [d["wall_sec"] for d in runs[n]]}
+                           for n in levels},
+                **ratios,
+                "cpu_probe": cpu_probe(),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "stage":
+        stage_main()
+        return
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 240000
     n_list = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2").split(",")]
     min_px = int(sys.argv[3]) if len(sys.argv) > 3 else 32

@@ -13,11 +13,15 @@ the config hash — BASELINE.json "resumes mid-band"):
                   family (one caption on 5% of rows) collapses to ONE node
                   before any quadratic band bucket can form.
   signatures      unique captions -> shingles + 128-perm MinHash (Arrow UDFs)
-  scored_minhash  FUSED LSH band self-join + exact-Jaccard verify
+  scored_minhash_bXX_YY
+                  FUSED LSH band self-join + exact-Jaccard verify
                   (lsh.minhash_scored_band): shingles ride the banded rows so
                   the raw candidate set is never materialized; keeps verified
-                  pairs + a hash-sample of near-misses (+ skew stats)
-  edges_minhash   threshold filter over scored_minhash (cheap projection)
+                  pairs + a hash-sample of near-misses (+ skew stats). The
+                  per-group outputs are consumed as a MANIFEST-LEVEL union —
+                  never re-written just to distinct them (the consumers
+                  dedup their filtered subsets instead).
+  edges_minhash   threshold filter + distinct over the scored union
   edges_simhash   pHash chunk LSH + exact Hamming verify (JVM bit_count)
   edges_substring winnowing + per-bucket suffix-array pass (applyInPandas)
   pairs           all verified pairs (FIXTURES.md F2 shape)
@@ -47,7 +51,6 @@ STAGES = [
     "scored_minhash_b08_15",
     "scored_minhash_b16_23",
     "scored_minhash_b24_31",
-    "scored_minhash",
     "edges_minhash",
     "edges_simhash",
     "edges_substring",
@@ -99,11 +102,28 @@ def member_scores(assignments: DataFrame, pairs: DataFrame) -> DataFrame:
 class Pipeline:
     def __init__(
         self, warehouse_root: str, cfg: DedupConfig = DEFAULT, run_id: str = "run0",
-        band_groups: int = 4,
+        band_groups: int | str = 4,
     ):
+        """band_groups: LSH bands per commit = lsh_bands / band_groups.
+        "auto" sizes the commit granularity to the signature-table row count
+        (read from the committed signatures manifest, so resume resolves the
+        same grouping): mid-band resume only pays for itself when one band
+        group is minutes of work, and each extra group is a fixed commit
+        cost that dilutes small-input scaling. At 100TB the signature table
+        always lands in the >=4 tier — "auto" never trades resume
+        granularity where it matters."""
         self.cfg = cfg
-        self.band_groups = band_groups  # LSH bands per commit = lsh_bands / band_groups
+        self.band_groups = band_groups
         self.wh = Warehouse(warehouse_root, cfg.config_hash(), run_id)
+
+    def _resolve_band_groups(self, n_sigs: int) -> int:
+        if self.band_groups != "auto":
+            return int(self.band_groups)
+        if n_sigs < 500_000:
+            return 1
+        if n_sigs < 2_000_000:
+            return 2
+        return 4
 
     # -- stage runner with resume skip ------------------------------------
     def _stage(self, spark: SparkSession, name: str, build, **man_kw) -> DataFrame:
@@ -130,6 +150,8 @@ class Pipeline:
         # compare to the stored column — BASELINE.json:input_hint). sha2 is
         # JVM-side; decode/pHash is numpy inside mapInPandas (Arrow batches,
         # no per-row Python at the Spark layer). Raises if any row fails.
+        fid_obs: list = []
+
         def build_keys() -> DataFrame:
             with_sha = images.withColumn("sha", F.sha2(F.col("bytes"), 256))
             if not check_fidelity:
@@ -138,6 +160,7 @@ class Pipeline:
                     F.lit(True).alias("decode_ok"), F.lit(True).alias("phash_ok"),
                 )
             import pandas as pd
+            from pyspark.sql import Observation
 
             from . import imaging
 
@@ -162,15 +185,28 @@ class Pipeline:
                         }
                     )
 
-            return with_sha.mapInPandas(
+            out = with_sha.mapInPandas(
                 check,
                 "image_id string, sha string, caption string, phash long, "
                 "decode_ok boolean, phash_ok boolean",
             )
+            # fidelity failures are counted via observe() ON the stage-write
+            # job itself — no second pass over the table (the r02 per-stage
+            # constant-overhead finding): the metric rides the write action
+            obs = Observation("fidelity")
+            fid_obs.append(obs)
+            return out.observe(
+                obs,
+                F.sum((~F.col("decode_ok") | ~F.col("phash_ok")).cast("int")).alias("bad"),
+            )
 
         keys = self._stage(spark, "keys", build_keys)
         if check_fidelity:
-            bad = keys.where(~F.col("decode_ok") | ~F.col("phash_ok")).count()
+            if fid_obs:
+                bad = fid_obs[0].get["bad"] or 0  # came free with the write
+            else:
+                # resumed run: the committed slim table re-checks cheaply
+                bad = keys.where(~F.col("decode_ok") | ~F.col("phash_ok")).count()
             if bad:
                 raise ValueError(f"{bad} rows failed the per-row fidelity invariant")
 
@@ -223,7 +259,8 @@ class Pipeline:
         # deterministic hash-sample of rejects for the inter-cluster metric):
         # the raw candidate set never hits a shuffle, a distinct, or disk.
         group_dfs = []
-        rows_per_group = max(1, cfg.lsh_bands // self.band_groups)
+        n_groups = self._resolve_band_groups(self.wh.manifest("signatures")["row_count"])
+        rows_per_group = max(1, cfg.lsh_bands // n_groups)
         for g in range(0, cfg.lsh_bands, rows_per_group):
             lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
             cached: list[DataFrame] = []
@@ -247,20 +284,22 @@ class Pipeline:
             for b in cached:
                 b.unpersist()
 
-        def build_scored_union() -> DataFrame:
-            out = group_dfs[0]
-            for d in group_dfs[1:]:
-                out = out.unionByName(d)
-            return out.distinct()
+        # manifest-level union of the committed band-group dirs — a VIEW, not
+        # a stage: r02 read the groups back, distinct'ed and re-wrote every
+        # scored pair a second time just to dedup cross-group band collisions.
+        # The distinct (a pair can collide in bands of two different groups,
+        # always with the identical score) now runs in each consumer over its
+        # FILTERED subset instead of a second full write.
+        scored = group_dfs[0]
+        for d in group_dfs[1:]:
+            scored = scored.unionByName(d)
 
-        scored = self._stage(spark, "scored_minhash", build_scored_union)
-
-        # ---- stage: verified minhash edges (threshold projection) --------
+        # ---- stage: verified minhash edges (threshold filter + distinct) --
         edges_mh = self._stage(
             spark, "edges_minhash",
-            lambda: scored.where(F.col("score") >= cfg.jaccard_threshold).select(
-                "id_a", "id_b", F.lit("minhash").alias("match_type"), "score"
-            ),
+            lambda: scored.where(F.col("score") >= cfg.jaccard_threshold)
+            .distinct()
+            .select("id_a", "id_b", F.lit("minhash").alias("match_type"), "score"),
             band_lo=0, band_hi=cfg.lsh_bands - 1,
         )
 
@@ -353,7 +392,8 @@ class Pipeline:
             # join (cfg.metrics_inter_sample_mod); verified rows become
             # same-cluster edges, so the below-threshold remainder is
             # exactly the cross-cluster margin pool
-            near = scored.where(F.col("score") < cfg.jaccard_threshold)
+            # distinct: cross-group band collisions of the same sampled pair
+            near = scored.where(F.col("score") < cfg.jaccard_threshold).distinct()
             cross = (
                 near.join(asg_a.select("id_a", "cluster_id"), "id_a")
                 .join(

@@ -157,3 +157,27 @@ def test_skew_stats_in_manifest(assignments):
     man = Warehouse(wh, "x").manifest("scored_minhash_b00_07")
     assert man and "skew" in man and man["skew"]["max_bucket"] >= 1
     assert man["band_lo"] == 0 and man["band_hi"] == 7
+
+
+def test_auto_band_groups_small_input(spark, synth_parquet, assignments, tmp_path_factory):
+    """band_groups='auto' commits ONE band-group stage on a small input
+    (fewer fixed stage commits — the r02 small-input scaling finding),
+    resumes from its manifest, and produces identical assignments."""
+    res, _ = assignments
+    images = spark.read.parquet(synth_parquet)
+    wh = str(tmp_path_factory.mktemp("wh_auto"))
+    p = Pipeline(wh, band_groups="auto")
+    res2 = {r["image_id"]: r["cluster_id"] for r in p.run(spark, images).collect()}
+    assert res2 == res
+    man = p.wh.manifest("scored_minhash_b00_31")
+    assert man and man["band_lo"] == 0 and man["band_hi"] == 31  # one group
+    assert p.wh.manifest("scored_minhash_b00_07") is None
+    # mid-band resume contract still holds in auto mode: invalidate the
+    # group stage and rerun — earlier stages reused, result identical
+    before_sigs = p.wh.manifest("signatures")["committed_at"]
+    p.wh.invalidate_after("scored_minhash_b00_31", STAGES + ["scored_minhash_b00_31"])
+    p.wh.invalidate_after("edges_minhash", STAGES)
+    assert p.wh.is_complete("signatures")
+    res3 = {r["image_id"]: r["cluster_id"] for r in p.run(spark, images).collect()}
+    assert res3 == res
+    assert p.wh.manifest("signatures")["committed_at"] == before_sigs
