@@ -1,9 +1,15 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
-column names, and an order-insensitive value hash. Usage:
+column names, and an order-insensitive value hash.
+
+The three rows-only queries (q26/q33/q39 — engine-native kernels with no
+ANSI-SQL twin) additionally carry machine-checkable brute-force gates here
+(set-exactness / subset+recall vs an independent numpy oracle), so the
+contract run itself fails on a regression, not just pytest. Usage:
 
     python tools/check_contract.py [sf_dir] [only_query_prefix]
-"""
+
+Set CONTRACT_SKIP_GATES=1 to run only the SQL-twin comparisons."""
 
 from __future__ import annotations
 
@@ -37,6 +43,117 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()[:12]
+
+
+def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
+    """Brute-force gates for the no_oracle queries (the pytest assertions of
+    tests/test_lsh_exactness.py / test_recall_documents.py, in-contract):
+
+      q39  chunk-pair SimHash pairs EQUAL all-pairs Hamming<=6 (pigeonhole
+           recall is exactly 1.0 — set equality, not a bound)
+      q33  hyperplane-LSH pairs are a SUBSET of exact cosine>=0.4 (in-join
+           verification => exact precision), recall >= 0.9 at the registered
+           (bits=4, tables=24) config
+      q26  LSH candidates cover >= 0.99 of exact-Jaccard>=0.7 caption pairs
+           (BASELINE recall gate; banding miss prob ~1.5e-4/pair)
+    """
+    import numpy as np
+
+    from dedup.config import DEFAULT
+    from dedup.signatures import jaccard, shingle_hashes, simhash64
+
+    failures: list[str] = []
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    )
+
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+    def hd64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = (a[:, None] ^ b[None, :]).astype(np.uint64)
+        out = np.zeros(x.shape, dtype=np.int64)
+        for _ in range(8):
+            out += pop8[(x & np.uint64(0xFF)).astype(np.int64)]
+            x >>= np.uint64(8)
+        return out
+
+    # ---- q39: set exactness vs brute-force Hamming ----------------------
+    if "q39_caption_simhash_pairs" in qs:
+        t0 = time.time()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in qs["q39_caption_simhash_pairs"](spark, sf_dir).collect()
+        }
+        sh = np.array(
+            [np.uint64(simhash64(t or "")).astype(np.int64) for _, t in docs],
+            dtype=np.int64,
+        ).astype(np.uint64)
+        d = hd64(sh, sh)
+        ii, jj = np.nonzero(d <= DEFAULT.hamming_threshold)
+        want = set()
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            if i < j:
+                a, b = str(docs[i]["doc_id"]), str(docs[j]["doc_id"])
+                want.add((a, b) if a < b else (b, a))
+        ok = got == want
+        print(f"{'ok  ' if ok else 'FAIL'} gate q39: set{'==' if ok else '!='}brute "
+              f"({len(got)} vs {len(want)} pairs) [{time.time() - t0:.1f}s]")
+        if not ok:
+            failures.append("gate_q39")
+
+    # ---- q33: subset of exact + recall -----------------------------------
+    if "q33_ann_lsh_topk" in qs:
+        t0 = time.time()
+        emb = sorted(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where("vec_id < 250").select("vec_id", "embedding").collect()
+        )
+        m = np.array([r["embedding"] for r in emb], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ m.T
+        ids = [r["vec_id"] for r in emb]
+        exact = {
+            (ids[i], ids[j])
+            for i, j in zip(*np.nonzero(np.triu(cos >= 0.4, k=1)))
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in qs["q33_ann_lsh_topk"](spark, sf_dir).collect()
+            if r["id_a"] < 250 and r["id_b"] < 250
+        }
+        subset = approx <= exact
+        recall = len(approx & exact) / max(len(exact), 1)
+        ok = subset and recall >= 0.9
+        print(f"{'ok  ' if ok else 'FAIL'} gate q33: subset={subset} "
+              f"recall={recall:.4f} ({len(approx)}/{len(exact)}) [{time.time() - t0:.1f}s]")
+        if not ok:
+            failures.append("gate_q33")
+
+    # ---- q26: candidate recall vs exact Jaccard ---------------------------
+    if "q26_minhash_candidates" in qs:
+        t0 = time.time()
+        shingles = [set(shingle_hashes(t or "", DEFAULT.shingle_k).tolist()) for _, t in docs]
+        want = set()
+        for i in range(len(docs)):
+            si = shingles[i]
+            for j in range(i + 1, len(docs)):
+                sj = shingles[j]
+                inter = len(si & sj)
+                if inter and inter / (len(si) + len(sj) - inter) >= DEFAULT.jaccard_threshold:
+                    a, b = str(docs[i]["doc_id"]), str(docs[j]["doc_id"])
+                    want.add((a, b) if a < b else (b, a))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in qs["q26_minhash_candidates"](spark, sf_dir).collect()
+        }
+        recall = len(got & want) / max(len(want), 1)
+        ok = recall >= 0.99 and len(want) > 0
+        print(f"{'ok  ' if ok else 'FAIL'} gate q26: candidate recall={recall:.4f} "
+              f"({len(got & want)}/{len(want)} true pairs) [{time.time() - t0:.1f}s]")
+        if not ok:
+            failures.append("gate_q26")
+    return failures
 
 
 def main():
@@ -99,6 +216,9 @@ def main():
             failures.append(name)
         else:
             print(f"ok   {name}: {len(srows)} rows, hash match [{wall:.1f}s]")
+    if not os.environ.get("CONTRACT_SKIP_GATES"):
+        gated = {k: v for k, v in qs.items() if not only or k.startswith(only)}
+        failures += run_gates(spark, sf_dir, gated)
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok")
     spark.stop()
     sys.exit(1 if failures else 0)
