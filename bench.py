@@ -37,6 +37,10 @@ HEADLINE = [
     "q40_error_categories",
     "q41_tight_clusters",
     "q43_batch_ann_topk",
+    # round 3 additions (evaluation + member-score operators)
+    "q46_auc_roc",
+    "q47_eval_results_table",
+    "q48_member_outlier_scores",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "60000"))

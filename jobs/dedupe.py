@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True, help="output warehouse directory")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox)")
     ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--band-groups", default="auto",
+                    help="LSH bands per commit group: an int or 'auto' "
+                         "(granularity sized to the signature-table rows)")
     ap.add_argument("--synth-rows", type=int, default=0,
                     help="if >0 and --input missing, generate synthetic input first")
     args = ap.parse_args()
@@ -45,7 +48,10 @@ def main() -> None:
     try:
         images = spark.read.parquet(args.input)
         t0 = time.time()
-        assignments = Pipeline(args.warehouse, run_id=args.run_id).run(spark, images)
+        bg = args.band_groups if args.band_groups == "auto" else int(args.band_groups)
+        assignments = Pipeline(args.warehouse, run_id=args.run_id, band_groups=bg).run(
+            spark, images
+        )
         n = assignments.count()
         wall = time.time() - t0
         n_clusters = assignments.select("cluster_id").distinct().count()
