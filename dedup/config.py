@@ -52,13 +52,19 @@ class DedupConfig:
     # --- fidelity gate ---
     psnr_min_db: float = 40.0
     # --- execution knobs (affect HOW, never WHICH pairs are duplicates) ---
-    # connected-components takes the driver union-find fast path only while
-    # the edge set is small on BOTH axes: row count AND estimated bytes
-    # (ids can be long URIs at 100TB cardinalities, so a row count alone
-    # under-estimates driver heap). Above either bound -> distributed
-    # large-star/small-star loop. Both paths are oracle-tested identical.
-    cc_driver_edge_threshold: int = 1_000_000
-    cc_driver_max_bytes: int = 64 * 1024 * 1024
+    # connected-components takes the driver fast path only while the edge set
+    # is small on BOTH axes: row count AND estimated bytes (ids can be long
+    # URIs at 100TB cardinalities, so a row count alone under-estimates
+    # driver heap). Above either bound -> distributed large-star/small-star
+    # loop. Both paths are oracle-tested identical. The bounds follow the
+    # fast path's cost model: since the per-edge Python union-find became
+    # vectorized numpy label propagation (components._driver_union_find),
+    # 4M edges cost ~5s driver-side vs ~40s of distributed-loop rounds at
+    # local[4] — the same size-adaptive reasoning AQE applies to broadcasts.
+    # ~70B/edge estimated => the byte bound trips near 3.8M typical edges,
+    # well inside an 8g driver (measured ~600MB python-side at 5M edges).
+    cc_driver_edge_threshold: int = 4_000_000
+    cc_driver_max_bytes: int = 256 * 1024 * 1024
     # inter_mean_dist (metrics stage) exact-scores a deterministic 1-in-K
     # hash-sample of the near-miss candidates: the statistic is a mean, and
     # exact-scoring EVERY failed candidate just for a quality metric would
@@ -66,11 +72,20 @@ class DedupConfig:
     # Affects only the reported metric, never which pairs are duplicates.
     metrics_inter_sample_mod: int = 8
 
+    # pure-execution knobs: tuning them can never change any stage's OUTPUT,
+    # so they are excluded from config_hash — re-tuning the CC fast-path
+    # bound must not invalidate a 100TB warehouse's committed stages. Every
+    # other field (thresholds, banding, sampling mods) changes results and
+    # stays in the hash.
+    _EXEC_ONLY = ("cc_driver_edge_threshold", "cc_driver_max_bytes")
+
     def config_hash(self) -> str:
-        """Stable hash of the config — stage manifests store it so resume can
-        tell whether cached stage output is still valid (SURVEY.md §4.2)."""
+        """Stable hash of the result-affecting config — stage manifests store
+        it so resume can tell whether cached stage output is still valid
+        (SURVEY.md §4.2)."""
+        d = {k: v for k, v in asdict(self).items() if k not in self._EXEC_ONLY}
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
 
