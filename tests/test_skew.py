@@ -56,6 +56,31 @@ def test_viral_exact_dup_never_reaches_lsh(spark):
     assert pairs.count() == 0
 
 
+def test_phash_hard_cap_and_bucket_stats(spark):
+    """The image path honors cfg.hard_cap with the same accounted-never-
+    silent contract as the minhash path: a hot chunk-pair bucket (biased
+    pHashes sharing two chunks) is visible in phash_bucket_stats, a hard cap
+    prunes it (capped output is a strict subset of the uncapped output), and
+    the discarded candidate volume is priced in capped_candidate_pairs."""
+    # 60 pHashes sharing chunks 0 and 1 (one hot (0,1)-bucket), far apart in
+    # the upper bits so none are true Hamming<=6 pairs; plus 2 true near-dups
+    hot = [("h%02d" % i, (i * 0x0101010101 << 24) | 0x4242) for i in range(60)]
+    near = [("n0", 1 << 50), ("n1", (1 << 50) | 3)]  # hd=2: a true pair
+    df = spark.createDataFrame(hot + near, "rep_id string, phash long")
+
+    stats = lsh.phash_bucket_stats(df).collect()[0]
+    assert stats["max_bucket"] >= 60
+    capcfg = replace(DEFAULT, bucket_cap=10, hard_cap=True)
+    cstats = lsh.phash_bucket_stats(df, cfg=capcfg).collect()[0]
+    assert cstats["n_over_cap"] >= 1
+    assert cstats["capped_candidate_pairs"] >= 60 * 59 // 2
+
+    free = {(r["id_a"], r["id_b"]) for r in lsh.phash_candidates(df).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in lsh.phash_candidates(df, cfg=capcfg).collect()}
+    assert ("n0", "n1") in free and ("n0", "n1") in capped
+    assert capped <= free
+
+
 def test_hard_cap_returns_the_persisted_handle(spark, near_dup_captions):
     """With hard_cap=True the returned handle must be the PERSISTED banded
     frame, not the bucket-filtered child — unpersisting a derived DataFrame
