@@ -76,7 +76,10 @@ class DedupConfig:
     # so they are excluded from config_hash — re-tuning the CC fast-path
     # bound must not invalidate a 100TB warehouse's committed stages. Every
     # other field (thresholds, banding, sampling mods) changes results and
-    # stays in the hash.
+    # stays in the hash. (Introducing this exclusion itself changed the hash
+    # once: warehouses committed before it recompute on first touch — a
+    # one-time migration cost, correct by construction since is_complete
+    # only ever SKIPS work when hashes match.)
     _EXEC_ONLY = ("cc_driver_edge_threshold", "cc_driver_max_bytes")
 
     def config_hash(self) -> str:

@@ -68,18 +68,26 @@ def member_scores(assignments: DataFrame, pairs: DataFrame) -> DataFrame:
     semantics over the already-verified pair table:
 
       outlier_score        member's mean pair distance (1 - score) over the
-                           verified pairs touching it — 0.0 for singletons
+                           DISTINCT verified pairs touching it — 0.0 for
+                           singletons. The pairs table keeps one row per
+                           (pair, match_type), so a pair rediscovered by
+                           several tiers is first collapsed to its best
+                           (max-score) evidence: an exact-dup pair is
+                           distance 0 no matter what the minhash tier also
+                           scored it, and the mean must weight each PAIR
+                           once, not once per tier that found it.
       cluster_probability  1 - outlier_score normalized by the cluster's
                            max member distance (the least-typical member of
                            a cluster gets 0.0; every member of an all-exact
                            cluster, and every singleton, gets 1.0)
 
-    Shapes: endpoint-union -> groupBy(member) -> groupBy(cluster) max ->
-    joins on (image_id, cluster_id) — partial-aggregated and AQE-planned,
-    no windows, no per-row Python."""
+    Shapes: per-pair max -> endpoint-union -> groupBy(member) ->
+    groupBy(cluster) max -> joins on (image_id, cluster_id) —
+    partial-aggregated and AQE-planned, no windows, no per-row Python."""
+    uniq = pairs.groupBy("id_a", "id_b").agg(F.max("score").alias("score"))
     d = (1 - F.col("score")).alias("d")
-    ends = pairs.select(F.col("id_a").alias("image_id"), d).unionByName(
-        pairs.select(F.col("id_b").alias("image_id"), d)
+    ends = uniq.select(F.col("id_a").alias("image_id"), d).unionByName(
+        uniq.select(F.col("id_b").alias("image_id"), d)
     )
     md = ends.groupBy("image_id").agg(F.avg("d").alias("m"))
     j = assignments.join(md, "image_id", "left").na.fill({"m": 0.0})

@@ -161,6 +161,13 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         "bucket", state.bucket_col("key")
     )
     touched = sorted(r["bucket"] for r in exploded.select("bucket").distinct().collect())
+    if not touched:
+        # empty micro-batch (e.g. a zero-row input file): nothing to assign,
+        # nothing to fold into state. Skipping the commit entirely is safe —
+        # replaying an empty batch is a no-op — and avoids writing a dataless
+        # version dir that the partition-discovery read-back cannot re-infer
+        # a schema from (UNABLE_TO_INFER_SCHEMA).
+        return
     seen = state.read_buckets(spark, touched)
     hit = (
         exploded.join(seen, "key", "left")

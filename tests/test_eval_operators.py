@@ -110,6 +110,33 @@ def test_member_scores_semantics(spark):
     assert got["a"]["cluster_probability"] == 0.4  # 1 - 0.3/0.5
 
 
+def test_member_scores_count_each_pair_once(spark):
+    """A pair rediscovered by several tiers (one row per match_type in the
+    pairs table) must contribute ONCE, at its best evidence — not once per
+    tier. Here a-b is both an exact dup (score 1.0, three reps rows) and a
+    minhash pair (0.8): the mean distance for a must weight the a-b pair as
+    d=0, giving outlier_score (0 + 0.2) / 2 = 0.1, not a rediscovery-
+    weighted blend."""
+    from dedup.pipeline import member_scores
+
+    asg = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "image_id string, cluster_id string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", "exact", 1.0),
+            ("a", "b", "minhash", 0.8),
+            ("a", "b", "simhash", 1.0),
+            ("a", "c", "minhash", 0.8),
+        ],
+        "id_a string, id_b string, match_type string, score double",
+    )
+    got = {r["image_id"]: r for r in member_scores(asg, pairs).collect()}
+    assert got["a"]["outlier_score"] == 0.1  # (0.0 + 0.2) / 2
+    assert got["b"]["outlier_score"] == 0.0  # best evidence for a-b is exact
+    assert got["c"]["outlier_score"] == 0.2
+
+
 def test_member_scores_stage_committed(spark, tmp_path):
     """The pipeline commits the per-member table (cluster_results shape)."""
     import pyarrow.parquet as pq

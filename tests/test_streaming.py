@@ -196,3 +196,30 @@ def test_single_caption_micro_batch_one_cluster(spark, tmp_path):
     asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
     got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
     assert set(got.values()) == {min(got)}
+
+
+def test_empty_micro_batch_is_a_noop(spark, tmp_path):
+    """A zero-row micro-batch (empty input file) must not crash the query or
+    disturb committed state — the commit is skipped entirely (replaying an
+    empty batch is a no-op), and a later real batch still sees prior state."""
+    import json
+
+    from dedup.streaming import StreamState, _assign_batch
+
+    wh = str(tmp_path / "wh")
+    rows = synth.generate(40, seed=31)
+    real = spark.createDataFrame(synth.to_arrow(rows).to_pandas())
+    _assign_batch(real, 0, wh)
+    state = StreamState(os.path.join(wh, "stream_state"))
+    man_before = json.dumps(state.manifest(), sort_keys=True)
+
+    empty = real.limit(0)
+    _assign_batch(empty, 1, wh)  # crashed with UNABLE_TO_INFER_SCHEMA before
+    assert json.dumps(state.manifest(), sort_keys=True) == man_before
+
+    # a later real batch of already-seen captions still joins prior clusters
+    _assign_batch(real, 2, wh)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    b0 = {r["image_id"]: r["cluster_id"] for r in asg.where("batch_id = 0").collect()}
+    b2 = {r["image_id"]: r["cluster_id"] for r in asg.where("batch_id = 2").collect()}
+    assert b0 == b2
