@@ -90,8 +90,22 @@ class StreamState:
         buckets before the (lazy) state read ran. So a committed batch_id is
         an early return, never a rewrite."""
         man = self.manifest()
-        if man is not None and man.get("batch_id") is not None and man["batch_id"] >= batch_id:
-            return  # checkpoint-replay of an already-committed batch
+        if man is not None and man.get("batch_id") is not None:
+            if man["batch_id"] == batch_id:
+                return  # checkpoint-replay of the just-committed batch
+            if man["batch_id"] > batch_id:
+                # batch ids only move forward under one checkpoint; a LOWER id
+                # means the stream was restarted against this state with a
+                # fresh/reset checkpoint. Early-returning would silently
+                # freeze the state table (assignments keep writing, lookups
+                # go stale); re-folding would overwrite version dirs the
+                # manifest still references. Refuse loudly instead.
+                raise RuntimeError(
+                    f"state manifest is at batch {man['batch_id']} but the stream "
+                    f"delivered batch {batch_id}: checkpoint was reset against "
+                    "existing state. Resume with the original checkpoint dir, or "
+                    "start a fresh state warehouse."
+                )
         vdir = os.path.join(self.root, f"v{batch_id:09d}")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
         man = man or {"n_buckets": self.n_buckets, "buckets": {}}
@@ -99,16 +113,12 @@ class StreamState:
             "n_buckets changed mid-stream; state is keyed on it"
         )
         replaced = []
-        # which buckets actually materialized: partition discovery on the
-        # version dir (works on any Hadoop-compatible FS — no os.listdir, so
-        # an HDFS/S3 warehouse commits identically to a local one)
-        written = {
-            str(r["bucket"])
-            for r in merged.sparkSession.read.parquet(vdir).select("bucket").distinct().collect()
-        }
+        # every touched bucket materializes: `touched` is the distinct bucket
+        # set of this batch's keys, state rows were read from those buckets
+        # only, and the min-merge never drops a key — so the written
+        # partition set IS `touched`, with no listing (FS-portable) and no
+        # read-back job of the files just written
         for b in touched:
-            if str(b) not in written:
-                continue  # touched but ended empty (cannot happen today)
             old = man["buckets"].get(str(b))
             new = os.path.join(vdir, f"bucket={b}")
             man["buckets"][str(b)] = new
@@ -142,7 +152,14 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     return (
         keyed.join(hit, "image_id", "left")
         .join(F.broadcast(batch_roots), "k_caption", "left")
-        .withColumn("cluster_id", F.coalesce(F.col("rep_id"), F.col("batch_root")))
+        # final image_id fallback: a NULL caption never matches the equi-join
+        # (the schema declares caption non-null, but parquet nullability is
+        # advisory) — such a row roots itself instead of landing on a NULL
+        # cluster_id and folding a NULL rep into state
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("rep_id"), F.col("batch_root"), F.col("image_id")),
+        )
     )
 
 

@@ -223,3 +223,47 @@ def test_empty_micro_batch_is_a_noop(spark, tmp_path):
     b0 = {r["image_id"]: r["cluster_id"] for r in asg.where("batch_id = 0").collect()}
     b2 = {r["image_id"]: r["cluster_id"] for r in asg.where("batch_id = 2").collect()}
     assert b0 == b2
+
+
+def test_checkpoint_reset_against_existing_state_raises(spark, tmp_path):
+    """Batch ids only move forward under one checkpoint; a LOWER id means the
+    checkpoint was reset against existing state. That must raise — silently
+    skipping would freeze the state table (stale lookups, wrong clusters),
+    and re-folding would overwrite version dirs the manifest references."""
+    import pytest as _pytest
+
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    rows = synth.generate(30, seed=37)
+    batch = spark.createDataFrame(synth.to_arrow(rows).to_pandas())
+    _assign_batch(batch, 5, wh)
+    _assign_batch(batch, 5, wh)  # exact replay of the committed batch: no-op
+    with _pytest.raises(RuntimeError, match="checkpoint was reset"):
+        _assign_batch(batch, 3, wh)
+
+
+def test_null_caption_rows_root_themselves(spark, tmp_path):
+    """Parquet nullability is advisory: a NULL-caption row must get a real
+    cluster_id (its own id), not NULL, and must not fold a NULL rep into
+    state."""
+    from pyspark.sql import functions as F
+
+    from dedup.streaming import StreamState, _assign_batch
+
+    wh = str(tmp_path / "wh")
+    rows = synth.generate(10, seed=41)
+    batch = spark.createDataFrame(synth.to_arrow(rows).to_pandas()).withColumn(
+        "caption",
+        F.when(F.col("image_id") == rows[0]["image_id"], F.lit(None)).otherwise(
+            F.col("caption")
+        ),
+    )
+    _assign_batch(batch, 0, wh)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got[rows[0]["image_id"]] == rows[0]["image_id"]
+    assert all(v is not None for v in got.values())
+    state = StreamState(os.path.join(wh, "stream_state"))
+    seen = state.read_buckets(spark, list(range(state.n_buckets)))
+    assert seen.where(F.col("rep_id").isNull()).count() == 0

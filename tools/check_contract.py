@@ -60,7 +60,8 @@ def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
     import numpy as np
 
     from dedup.config import DEFAULT
-    from dedup.signatures import jaccard, shingle_hashes, simhash64
+    from dedup.reference_impl import _popcount  # the test oracle's own kernel
+    from dedup.signatures import shingle_hashes, simhash64
 
     failures: list[str] = []
     docs = sorted(
@@ -68,15 +69,8 @@ def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
         .select("doc_id", "text").collect()
     )
 
-    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
-
     def hd64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        x = (a[:, None] ^ b[None, :]).astype(np.uint64)
-        out = np.zeros(x.shape, dtype=np.int64)
-        for _ in range(8):
-            out += pop8[(x & np.uint64(0xFF)).astype(np.int64)]
-            x >>= np.uint64(8)
-        return out
+        return _popcount(a[:, None] ^ b[None, :])
 
     # ---- q39: set exactness vs brute-force Hamming ----------------------
     if "q39_caption_simhash_pairs" in qs:
@@ -175,9 +169,11 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    compared = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
             continue
+        compared += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -228,7 +224,7 @@ def main():
             print(f"{n_gates - len(gate_failures)}/{n_gates} brute-force gates ok")
     # query and gate tallies are reported separately: a failed gate is not a
     # failed SQL-twin comparison (and one query failing both counts once each)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok")
+    print(f"\n{compared - len(failures)}/{compared} queries ok")
     spark.stop()
     sys.exit(1 if failures or gate_failures else 0)
 
