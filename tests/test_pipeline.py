@@ -181,3 +181,25 @@ def test_auto_band_groups_small_input(spark, synth_parquet, assignments, tmp_pat
     res3 = {r["image_id"]: r["cluster_id"] for r in p.run(spark, images).collect()}
     assert res3 == res
     assert p.wh.manifest("signatures")["committed_at"] == before_sigs
+
+
+def test_resume_with_auto_band_groups(spark, synth_parquet):
+    """band_groups='auto' must resolve the SAME grouping on resume (it reads
+    the committed signatures manifest, not live data), so a killed auto-run
+    reuses its committed scored stage and reproduces identical assignments."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="auto_resume_wh_")
+    images = spark.read.parquet(synth_parquet)
+    p = Pipeline(wh, band_groups="auto")
+    res = {r["image_id"]: r["cluster_id"] for r in p.run(spark, images).collect()}
+    # small corpus -> one band group committed under the full-range name
+    assert p.wh.is_complete("scored_minhash_b00_31")
+    ts = p.wh.manifest("scored_minhash_b00_31")["committed_at"]
+
+    p2 = Pipeline(wh, band_groups="auto")
+    p2.wh.invalidate_after("edges_simhash", STAGES)
+    res2 = {r["image_id"]: r["cluster_id"] for r in p2.run(spark, images).collect()}
+    assert res2 == res
+    # the committed band group was reused, not recomputed
+    assert p2.wh.manifest("scored_minhash_b00_31")["committed_at"] == ts
