@@ -183,6 +183,48 @@ def test_auto_band_groups_small_input(spark, synth_parquet, assignments, tmp_pat
     assert p.wh.manifest("signatures")["committed_at"] == before_sigs
 
 
+def test_reps_groupby_shape_matches_window_semantics(spark, synth_parquet):
+    """The skew-safe groupBy-min + join reps shape must emit the exact edge
+    set of the old window-min formulation (byte-identical member edges),
+    including on a viral key (one caption shared by half the rows)."""
+    from pyspark.sql import Window
+
+    from dedup.pipeline import exact_member_edges
+
+    images = spark.read.parquet(synth_parquet)
+    keys = images.select(
+        "image_id", F.sha2(F.col("bytes"), 256).alias("sha"),
+        # viral family: half the corpus collapses onto one caption
+        F.when(F.crc32(F.col("image_id")) % 2 == 0, F.lit("VIRAL"))
+        .otherwise(F.col("caption")).alias("caption"),
+        "phash",
+    )
+    got = {tuple(r) for r in exact_member_edges(keys).collect()}
+    exploded = keys.select(
+        "image_id",
+        F.expr(
+            "explode(array("
+            "struct('exact' AS kind, concat_ws('|', sha, caption) AS k), "
+            "struct('minhash' AS kind, caption AS k), "
+            "struct('simhash' AS kind, CAST(phash AS STRING) AS k)))"
+        ).alias("e"),
+    ).select("image_id", F.col("e.kind").alias("kind"), F.col("e.k").alias("k"))
+    w = Window.partitionBy("kind", "k")
+    want = {
+        tuple(r)
+        for r in exploded.select(
+            F.min("image_id").over(w).alias("id_a"),
+            F.col("image_id").alias("id_b"),
+            F.col("kind").alias("match_type"),
+            F.lit(1.0).alias("score"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 100
+
+
 def test_resume_with_auto_band_groups(spark, synth_parquet):
     """band_groups='auto' must resolve the SAME grouping on resume (it reads
     the committed signatures manifest, not live data), so a killed auto-run

@@ -97,6 +97,25 @@ def test_batch_topk_broadcasts_probes(spark):
     assert "EvalPython" not in p
 
 
+def test_reps_stage_has_no_window(spark):
+    """The exact-collapse (reps) stage must compute group mins via
+    partial-aggregated groupBy + join-back, never a Window — a window
+    partitioned by the collapse key materializes the viral key's rows in
+    ONE task (the r03 judge's hot-key straggler finding)."""
+    from dedup.pipeline import exact_member_edges
+
+    keys = spark.createDataFrame(
+        [("a", "s1", "cap", 1), ("b", "s1", "cap", 1)],
+        "image_id string, sha string, caption string, phash long",
+    )
+    df = exact_member_edges(keys)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial (map-side) + final min
+
+
 def test_error_categorization_is_jvm_only(spark):
     """categorize_errors is a Catalyst CASE — no Python in the plan."""
     p = _plan(spark, "q40_error_categories")
