@@ -139,26 +139,34 @@ class StreamState:
 def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     """cluster_id per batch row: state hit wins, else min image_id within the
     batch's own caption group (caption equality subsumes the sha+caption key,
-    so byte-identical and caption-identical rows of one batch land together).
+    so byte-identical and caption-identical rows of one batch land together),
+    else — for NULL-caption rows, where the caption equi-join can never match
+    — min image_id within the batch's byte-exact (k_exact) group, so
+    byte-identical NULL-caption rows still collapse in-batch (r03 advice:
+    they used to self-root separately). The exact fallback sits AFTER the
+    caption root in the coalesce: putting it first would split same-caption
+    different-bytes rows that the caption tier must merge.
 
-    Shape: groupBy-min + BROADCAST join, the batch pipeline's reps-stage
+    Shape: groupBy-min + BROADCAST joins, the batch pipeline's reps-stage
     pattern — a window partitioned by caption would sort every same-caption
     row of the micro-batch in ONE task (a viral caption = one straggler),
     while the groupBy partial-aggregates map-side and the broadcast join
     leaves the big side's rows in place (micro-batches bound the distinct-
-    caption table, so the broadcast is always small). Plan-pinned windowless
+    key tables, so the broadcasts are always small). Plan-pinned windowless
     in tests/test_streaming.py."""
     batch_roots = keyed.groupBy("k_caption").agg(F.min("image_id").alias("batch_root"))
+    exact_roots = keyed.groupBy("k_exact").agg(F.min("image_id").alias("exact_root"))
     return (
         keyed.join(hit, "image_id", "left")
         .join(F.broadcast(batch_roots), "k_caption", "left")
-        # final image_id fallback: a NULL caption never matches the equi-join
-        # (the schema declares caption non-null, but parquet nullability is
-        # advisory) — such a row roots itself instead of landing on a NULL
-        # cluster_id and folding a NULL rep into state
+        .join(F.broadcast(exact_roots), "k_exact", "left")
+        # final image_id fallback is defensive only (k_exact is never NULL,
+        # so exact_root always resolves — every row is in its own group)
         .withColumn(
             "cluster_id",
-            F.coalesce(F.col("rep_id"), F.col("batch_root"), F.col("image_id")),
+            F.coalesce(
+                F.col("rep_id"), F.col("batch_root"), F.col("exact_root"), F.col("image_id")
+            ),
         )
     )
 
@@ -173,9 +181,14 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption")).alias("k_exact"),
         F.col("caption").alias("k_caption"),
     )
-    # longest-match: exact (sha+caption) key first, then caption key
-    exploded = keyed.selectExpr("image_id", "stack(2, k_exact, k_caption) AS key").withColumn(
-        "bucket", state.bucket_col("key")
+    # longest-match: exact (sha+caption) key first, then caption key.
+    # NULL keys (a NULL caption's k_caption) are dropped: they can never
+    # match an equi-join lookup, so folding them into state would only
+    # accumulate dead NULL-key rows across batches (r03 advice)
+    exploded = (
+        keyed.selectExpr("image_id", "stack(2, k_exact, k_caption) AS key")
+        .where(F.col("key").isNotNull())
+        .withColumn("bucket", state.bucket_col("key"))
     )
     touched = sorted(r["bucket"] for r in exploded.select("bucket").distinct().collect())
     if not touched:
@@ -196,8 +209,11 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
     out.write.mode("overwrite").parquet(out_dir)
 
     # fold this batch's keys into the TOUCHED buckets only; min(rep_id) keeps
-    # the merge idempotent under checkpoint replay
-    new_keys = assigned.selectExpr("cluster_id AS rep_id", "stack(2, k_exact, k_caption) AS key")
+    # the merge idempotent under checkpoint replay. NULL keys filtered for
+    # the same reason as the lookup side: dead state that never equi-joins
+    new_keys = assigned.selectExpr(
+        "cluster_id AS rep_id", "stack(2, k_exact, k_caption) AS key"
+    ).where(F.col("key").isNotNull())
     merged = (
         seen.unionByName(new_keys)
         .groupBy("key")

@@ -267,3 +267,39 @@ def test_null_caption_rows_root_themselves(spark, tmp_path):
     state = StreamState(os.path.join(wh, "stream_state"))
     seen = state.read_buckets(spark, list(range(state.n_buckets)))
     assert seen.where(F.col("rep_id").isNull()).count() == 0
+    # and no NULL KEY rows entered state either (dead rows that never
+    # equi-join but min-merge forever — r03 advice)
+    assert seen.where(F.col("key").isNull()).count() == 0
+
+
+def test_null_caption_exact_dups_collapse_in_batch(spark, tmp_path):
+    """Byte-identical rows whose caption is NULL share k_exact (the sha) but
+    have no caption root; the exact-root middle fallback must collapse them
+    to one in-batch cluster instead of letting each self-root (r03 advice).
+    Rows with DIFFERENT bytes and NULL captions must still stay apart."""
+    from pyspark.sql import functions as F
+
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    rows = synth.generate(8, seed=43)
+    # a byte-identical copy of row 0; rows 0, 1 and the twin all get NULL captions
+    twin = dict(rows[0]); twin["image_id"] = "twin000001"
+    batch = spark.createDataFrame(
+        synth.to_arrow(rows[:2] + [twin]).to_pandas()
+    ).withColumn(
+        "caption",
+        F.when(
+            F.col("image_id").isin(
+                rows[0]["image_id"], rows[1]["image_id"], "twin000001"
+            ),
+            F.lit(None),
+        ).otherwise(F.col("caption")),
+    )
+    _assign_batch(batch, 0, wh)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["twin000001"] == got[rows[0]["image_id"]]  # byte-twins merge
+    # distinct bytes + NULL caption stay apart (no NULL-group over-merge)
+    assert got[rows[1]["image_id"]] != got[rows[0]["image_id"]]
+    assert all(v is not None for v in got.values())
