@@ -248,13 +248,19 @@ def compact_fuzzy(
 
 def incremental_dedup_stream(
     spark: SparkSession, input_dir: str, warehouse: str, checkpoint: str,
-    available_now: bool = True,
+    available_now: bool = True, max_files_per_trigger: int | None = None,
 ):
     """Start the incremental dedup stream; returns the StreamingQuery.
 
     With available_now=True the query drains everything currently in
-    input_dir and stops — the test/batch-drain mode."""
-    stream = spark.readStream.schema(IMAGES).parquet(input_dir)
+    input_dir and stops — the test/batch-drain mode. max_files_per_trigger
+    bounds each micro-batch to that many input files (availableNow honors
+    it), which makes multi-batch arrival order reproducible when the input
+    files carry distinct mtimes (oldest first)."""
+    reader = spark.readStream.schema(IMAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
     writer = (
         stream.writeStream.foreachBatch(
             lambda b, bid: _assign_batch(b, bid, warehouse)

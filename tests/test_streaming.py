@@ -272,6 +272,41 @@ def test_null_caption_rows_root_themselves(spark, tmp_path):
     assert seen.where(F.col("key").isNull()).count() == 0
 
 
+def test_compact_fuzzy_refines_stream_clusters(spark, tmp_path):
+    """Periodic fuzzy compaction must REFINE the stream's exact-tier
+    clustering: the pipeline's edge set is a superset of the exact-dup
+    edges, so any two rows the stream co-clustered stay co-clustered after
+    compaction (clusters only merge, never split)."""
+    from dedup.streaming import compact_fuzzy
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = synth.generate(300, seed=47)
+    pq.write_table(synth.to_arrow(rows[:150]), str(landing / "a.parquet"))
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_dedup_stream(spark, str(landing), wh, ckpt).awaitTermination()
+    pq.write_table(synth.to_arrow(rows[150:]), str(landing / "b.parquet"))
+    incremental_dedup_stream(spark, str(landing), wh, ckpt).awaitTermination()
+
+    stream_asg = {
+        r["image_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(wh, "stream_assignments")).collect()
+    }
+    compact_asg = {
+        r["image_id"]: r["cluster_id"]
+        for r in compact_fuzzy(spark, str(landing), wh).collect()
+    }
+    assert set(compact_asg) == set(stream_asg) == {r["image_id"] for r in rows}
+    # refinement: each stream cluster maps into exactly ONE compacted cluster
+    by_stream: dict[str, set[str]] = {}
+    for img, sc in stream_asg.items():
+        by_stream.setdefault(sc, set()).add(compact_asg[img])
+    assert all(len(v) == 1 for v in by_stream.values())
+    # and compaction actually merged something (fuzzy tiers added edges)
+    assert len(set(compact_asg.values())) < len(set(stream_asg.values()))
+
+
 def test_null_caption_exact_dups_collapse_in_batch(spark, tmp_path):
     """Byte-identical rows whose caption is NULL share k_exact (the sha) but
     have no caption root; the exact-root middle fallback must collapse them
