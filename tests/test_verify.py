@@ -14,6 +14,45 @@ def test_suffix_array_sorted():
     assert suf == sorted(suf)
 
 
+def test_suffix_array_randomized_vs_naive():
+    """Prefix doubling must equal the naive full-suffix sort on randomized
+    strings — tiny alphabets (max rank ties), unicode, and empty/1-char."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    for _ in range(500):
+        n = rng.randint(0, 80)
+        alpha = rng.choice(["ab", "abc", "a", string.ascii_lowercase, "日本語ab "])
+        s = "".join(rng.choice(alpha) for _ in range(n))
+        assert _suffix_array(s) == sorted(range(len(s)), key=lambda i: s[i:]), repr(s)
+
+
+def test_suffix_array_megabyte_container_is_fast():
+    """The long-container path must build a 1 MB suffix array in seconds,
+    not minutes (the r03 O(n^2 log n) finding): measured ~0.85s on this
+    host for word-like text; the bound is loose for shared-host drift.
+    The naive construction on the same input takes minutes + O(n^2) RAM."""
+    import random
+    import string
+    import time
+
+    rng = random.Random(11)
+    words = [
+        "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(2, 9)))
+        for _ in range(5000)
+    ]
+    doc = " ".join(rng.choice(words) for _ in range(180000))[:1_000_000]
+    t0 = time.time()
+    sa = _suffix_array(doc)
+    build = time.time() - t0
+    assert build < 5.0, f"1MB suffix array took {build:.1f}s"
+    assert len(sa) == len(doc)
+    # search end-to-end on the same container
+    hits = substring_hits_in_container(doc, [doc[5000:5040], "zzzzzzzzzzzq"])
+    assert hits == [True, False]
+
+
 def test_substring_hits_golden():
     container = "the harbor crane overlooks the winter canal at dusk"
     needles = [
