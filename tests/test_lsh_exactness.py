@@ -70,8 +70,27 @@ def test_ann_lsh_subset_and_recall_of_exact(spark):
     }
     approx = {
         (r["id_a"], r["id_b"])
-        for r in lsh_near_pairs(e, dim=dim, threshold=0.4, bits=4, tables=24).collect()
+        for r in lsh_near_pairs(e, dim=dim, threshold=0.4, bits="auto", tables=24).collect()
         if r["id_a"] < 250 and r["id_b"] < 250
     }
     assert approx <= exact  # exact precision: cosine verified in-join
     assert len(approx & exact) / len(exact) >= 0.9  # measured 1.0 at this config
+
+
+def test_auto_bits_bounds_bucket_volume():
+    """auto_bits must keep expected rows/bucket <= target at EVERY scale —
+    the registered q33 config self-sizes instead of freezing bits=4 (which
+    is ~n^2/16 candidates per table at real n)."""
+    from dedup.ann import auto_bits
+
+    target = 128
+    for n in (1, 100, 500, 2_000, 60_000, 1_000_000, 10**9, 10**12):
+        bits = auto_bits(n, target_bucket_rows=target)
+        assert 4 <= bits <= 32
+        if bits < 32:  # below the cap the bound is exact
+            assert n / (1 << bits) <= target, (n, bits)
+    # the two driver scale factors resolve to the measured-green config
+    assert auto_bits(500) == 4 and auto_bits(2000) == 4
+    # and growth is monotonic (no recall cliff from a non-monotone dial)
+    vals = [auto_bits(n) for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
+    assert vals == sorted(vals)
