@@ -75,27 +75,33 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     size-adaptive reasoning AQE applies when it broadcasts a small join side.
 
     The per-edge Python union-find loop this replaces spent its time hashing
-    id strings (2.8s at 711k edges); this version factorizes ids to ints
-    once, rank-maps the codes so integer order == lexicographic id order
-    (min-code root IS the min-id root), and then runs numpy segment-min
-    rounds (sort-once + minimum.reduceat) with pointer doubling — 1.1s at
-    711k edges, byte-identical assignments (tested against both paths)."""
+    id strings (2.8s at 711k edges); this version stays in Arrow end to end:
+    `toArrow` collect (no pandas object columns), C++ dictionary-encode for
+    the id->int mapping, rank-mapped so integer order == lexicographic id
+    order (UTF-8 byte order equals code-point order, so Arrow's sort matches
+    Python string comparison; min-code root IS the min-id root), then numpy
+    segment-min rounds (sort-once + minimum.reduceat) with pointer doubling.
+    Byte-identical assignments vs the distributed loop (tested both paths).
+    Duplicate edges are tolerated (redundant adjacency rows, same fixpoint),
+    which lets the caller skip a distinct shuffle."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     spark = edges.sparkSession
-    pdf = edges.toPandas()  # Arrow batch transfer — toLocalIterator is row-by-row py4j
-    if not len(pdf):
+    tbl = edges.toArrow()  # Arrow batch transfer — toLocalIterator is row-by-row py4j
+    n = tbl.num_rows
+    if not n:
         return spark.createDataFrame([], "image_id string, cluster_id string")
-    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
-    codes_raw, uniq = pd.factorize(both)
-    uniq = np.asarray(uniq)
-    order = np.argsort(uniq, kind="stable")
+    both = pa.chunked_array(tbl.column("src").chunks + tbl.column("dst").chunks)
+    enc = pc.dictionary_encode(both).combine_chunks()
+    codes_raw = enc.indices.to_numpy().astype(np.int64)
+    uniq = enc.dictionary
+    order = pc.sort_indices(uniq).to_numpy().astype(np.int64)
     rank = np.empty(len(uniq), dtype=np.int64)
     rank[order] = np.arange(len(uniq))
     codes = rank[codes_raw]
-    uniq_sorted = uniq[order]
-    n = len(pdf)
+    uniq_sorted = uniq.take(pa.array(order))
     src, dst = codes[:n], codes[n:]
     # symmetric adjacency sorted by source once; per-round work is a gather +
     # one minimum.reduceat over the precomputed segment starts
@@ -116,8 +122,13 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             break
     else:
         raise RuntimeError("driver CC did not converge in 200 rounds")
-    roots = pd.DataFrame(
-        {"image_id": uniq_sorted, "cluster_id": uniq_sorted[parent]}
+    # hand the roots back as ONE pyarrow table (no pandas hop):
+    # createDataFrame(pandas) re-chunks through the session's 2048-row
+    # Arrow batches (sized for KB-scale image rows, pathological for a
+    # million 2-string rows — measured 2.7s create + 4.3s first action vs
+    # 1.0s + 1.8s for the arrow table)
+    roots = pa.table(
+        {"image_id": uniq_sorted, "cluster_id": uniq_sorted.take(pa.array(parent))}
     )
     return spark.createDataFrame(roots)
 
@@ -137,20 +148,32 @@ def connected_components(
     spark = edges.sparkSession
     if driver_edge_threshold is None:
         driver_edge_threshold = cfg.cc_driver_edge_threshold
-    e = (
-        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+    raw = edges.select(F.col("src").cast("string"), F.col("dst").cast("string")).where(
+        F.col("src") != F.col("dst")
     )
-    prev = _checksum(e)
+    # the path decision runs on the RAW edge set — one aggregate job, no
+    # shuffle. Raw counts/bytes over-estimate the distinct set, so the
+    # gate stays conservative, and the fast path skips the distinct
+    # exchange + localCheckpoint entirely: duplicate edges only add
+    # redundant adjacency rows to the driver union-find (same fixpoint),
+    # and at 1M/local[32] that distinct was ~2s of pure overhead.
+    prev = _checksum(raw)
     if 0 < prev[0] <= driver_edge_threshold and prev[2] <= cfg.cc_driver_max_bytes:
-        roots = _driver_union_find(e)
+        roots = _driver_union_find(raw)
+        # join-back: the roots side holds only edge-touched vertices
+        # (<= 2 per edge, bytes bounded by the gate above) — broadcast it
+        # so the big vertex table never shuffles; singletons coalesce to
+        # self. The threshold mirrors the byte gate: past it, fall back to
+        # a shuffle-hash join (no sort of either side).
+        small = prev[2] <= 128 * 1024 * 1024
+        r = F.broadcast(roots) if small else roots.hint("shuffle_hash")
         return (
             vertices.select(F.col(vertices.columns[0]).alias("image_id"))
-            .join(roots, "image_id", "left")
+            .join(r, "image_id", "left")
             .select("image_id", F.coalesce("cluster_id", "image_id").alias("cluster_id"))
         )
+    e = raw.distinct().localCheckpoint()
+    prev = _checksum(e)
     # the loop runs ~log(n) rounds of 2 shuffles each; with big shuffle
     # partition counts the per-round task overhead dominates small edge sets,
     # so size partitions to the data (~250k edges/partition) for the loop

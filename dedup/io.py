@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
@@ -41,6 +42,10 @@ class Warehouse:
         self._fs = None
         self._obs_seq = 0
         self._warned_stale: set[str] = set()
+        # independent stages commit concurrently (pipeline tail overlap):
+        # manifests are per-stage files, but the shared lineage journal and
+        # the observation counter need serialization
+        self._lock = threading.Lock()
 
     @property
     def fs(self):
@@ -89,8 +94,10 @@ class Warehouse:
         path = self._dir(stage)
         # the row count is observed ON the write job — zero extra passes,
         # works on any filesystem (names are unique per (warehouse, write))
-        self._obs_seq += 1
-        obs = Observation(f"wh_rows_{stage}_{self._obs_seq}")
+        with self._lock:
+            self._obs_seq += 1
+            seq = self._obs_seq
+        obs = Observation(f"wh_rows_{stage}_{seq}")
         t0 = time.time()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
         exec_ms = int((time.time() - t0) * 1000)
@@ -115,12 +122,13 @@ class Warehouse:
         return man
 
     def _append_lineage(self, man: dict) -> None:
-        self.fs.append_text(
-            os.path.join(self.root, "_lineage.jsonl"),
-            json.dumps({k: man[k] for k in (
-                "run_id", "stage", "band_lo", "band_hi", "partition_count",
-                "row_count", "config_hash", "wall_ms")}, sort_keys=True) + "\n",
-        )
+        with self._lock:  # concurrent stage commits share one journal
+            self.fs.append_text(
+                os.path.join(self.root, "_lineage.jsonl"),
+                json.dumps({k: man[k] for k in (
+                    "run_id", "stage", "band_lo", "band_hi", "partition_count",
+                    "row_count", "config_hash", "wall_ms")}, sort_keys=True) + "\n",
+            )
 
     def lineage(self) -> list[dict]:
         p = os.path.join(self.root, "_lineage.jsonl")
@@ -133,8 +141,13 @@ class Warehouse:
         not a static constant — is authoritative for invalidation: auto band
         grouping commits data-dependent stage names (scored_minhash_b00_31
         vs four b00_07.. groups), which a hardcoded list misses (r03
-        advice). Stages always commit in pipeline order, so first-seen
-        lineage order IS pipeline order."""
+        advice). A stage only starts after every stage it depends on has
+        committed, so first-seen lineage order is a linear extension of the
+        dependency order — concurrent tail stages (reps / edges_simhash /
+        edges_substring overlap the band groups) may interleave, but a
+        dependent always appears after its inputs, so invalidating from any
+        stage drops a SUPERSET of its dependents (extra drops are safe
+        recomputes, never a stale reuse)."""
         seen: list[str] = []
         for entry in self.lineage():
             if entry["stage"] not in seen:

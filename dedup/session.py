@@ -29,6 +29,11 @@ def get_spark(
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
+        # FAIR job scheduling: the pipeline submits independent tail stages
+        # from driver threads (reps/simhash/substring overlap the LSH band
+        # groups); FIFO would starve the later-submitted jobs of slots while
+        # an earlier narrow stage holds the queue head
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
