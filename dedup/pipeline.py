@@ -61,18 +61,41 @@ STAGES = [
 ]
 
 
-def exact_member_edges(keys: DataFrame) -> DataFrame:
+def exact_member_edges(
+    keys: DataFrame, hot_key_rows: int = 100_000, hot_key_cap: int = 65_536
+) -> DataFrame:
     """reps stage body: exact-dup collapse edges (member -> group-min rep)
     for the three collapse keys, stacked into ONE aggregate shape.
 
     Skew contract (the r03 judge's one scale-killer on the default path):
     the group min is computed with groupBy().agg(min) — partial-aggregated
     map-side, so the viral key (one caption on 5% of rows = terabytes of one
-    key at 100 TB) never materializes in a single task — and joined back on
-    (kind, k), where AQE's skew-join split can fan the hot key's probe rows
-    across tasks against a ONE-ROW build side. The previous
-    min().over(Window.partitionBy(kind, k)) shape sorted each key group in
-    exactly one task; plan-pinned window-free in tests/test_plans.py.
+    key at 100 TB) never materializes in a single aggregate task. The
+    join-back is where the hot key would return: MEASURED (bench/
+    reps_skew.py debug, Spark 4.1), AQE's OptimizeSkewedJoin can NOT rescue
+    a groupBy-then-join-back — the rule only matches SMJ(Sort(shuffle),
+    Sort(shuffle)) and the build side here is Sort(Agg(shuffle)); an
+    explicit repartition of the agg output is elided by ENSURE_REQUIREMENTS,
+    and the byte thresholds are compression-dependent anyway (a viral key is
+    millions of IDENTICAL strings — its shuffle partition compresses to
+    almost nothing, so it never looks "skewed" in bytes). So hot keys are
+    routed DETERMINISTICALLY instead:
+
+      * the per-key row count comes free in the mins aggregate;
+      * keys with >= hot_key_rows members (top hot_key_cap by count — the
+        cap bounds the broadcast at ~cap x 300 B; keys past the cap fall
+        back to the cold join, pricing the bound like the pHash hard-cap)
+        are BROADCAST and resolved with a map-side hash join — the viral
+        key's rows are never shuffled at all;
+      * cold keys go through the sort-merge join-back, where every group
+        is < hot_key_rows by construction — no task's input scales with
+        the viral family.
+
+    No trailing distinct: each input row emits exactly one exploded row per
+    kind (one 3-struct array element each), so (match_type, id_b) is unique
+    by construction and the distinct was a full no-op shuffle of the edge
+    set. Plan-pinned window-free in tests/test_plans.py; hot/cold routing
+    equality pinned in tests/test_pipeline.py.
     Semantics of /root/reference/eridu/etl/filter.py:51-57."""
     exploded = keys.select(
         "image_id",
@@ -83,18 +106,47 @@ def exact_member_edges(keys: DataFrame) -> DataFrame:
             "struct('simhash' AS kind, CAST(phash AS STRING) AS k)))"
         ).alias("e"),
     ).select("image_id", F.col("e.kind").alias("kind"), F.col("e.k").alias("k"))
-    mins = exploded.groupBy("kind", "k").agg(F.min("image_id").alias("id_a"))
-    return (
-        exploded.join(mins, ["kind", "k"])
-        .where(F.col("id_a") != F.col("image_id"))
-        .select(
-            "id_a",
+    mins = exploded.groupBy("kind", "k").agg(
+        F.min("image_id").alias("id_a"), F.count(F.lit(1)).alias("cnt")
+    )
+
+    def edge(df: DataFrame, rep: str) -> DataFrame:
+        return df.where(F.col(rep) != F.col("image_id")).select(
+            F.col(rep).alias("id_a"),
             F.col("image_id").alias("id_b"),
             F.col("kind").alias("match_type"),
             F.lit(1.0).alias("score"),
         )
-        .distinct()
+
+    # Bounded driver collect (<= hot_key_cap rows, ~20 MB worst case — the
+    # same discipline as the engine's one-row skew aggregates): severing the
+    # hot set from the mins lineage keeps the expensive min(string)
+    # SortAggregate out of the broadcast subplans, so the final DAG computes
+    # mins exactly once, and the common no-hot case pays nothing at all.
+    hot_rows = (
+        mins.where(F.col("cnt") >= hot_key_rows)
+        .orderBy(F.desc("cnt"), "kind", "k")
+        .limit(hot_key_cap)
+        .drop("cnt")
+        .collect()
     )
+    if not hot_rows:
+        return edge(exploded.join(mins.drop("cnt"), ["kind", "k"]), "id_a")
+
+    spark = keys.sparkSession
+    hot = spark.createDataFrame(hot_rows, "kind string, k string, id_a string")
+    cold = mins.drop("cnt").join(
+        F.broadcast(hot.select("kind", "k")), ["kind", "k"], "left_anti"
+    )
+    probe = exploded.join(
+        F.broadcast(hot.withColumnRenamed("id_a", "hot_a")), ["kind", "k"], "left"
+    )
+    hot_edges = edge(probe.where(F.col("hot_a").isNotNull()), "hot_a")
+    cold_edges = edge(
+        probe.where(F.col("hot_a").isNull()).drop("hot_a").join(cold, ["kind", "k"]),
+        "id_a",
+    )
+    return hot_edges.unionByName(cold_edges)
 
 
 def member_scores(assignments: DataFrame, pairs: DataFrame) -> DataFrame:

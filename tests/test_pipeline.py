@@ -245,3 +245,25 @@ def test_resume_with_auto_band_groups(spark, synth_parquet):
     assert res2 == res
     # the committed band group was reused, not recomputed
     assert p2.wh.manifest("scored_minhash_b00_31")["committed_at"] == ts
+
+
+def test_reps_hot_key_routing_equality(spark, synth_parquet):
+    """Forcing the broadcast hot-key path (threshold 2, so every dup family
+    is 'hot'; cap 3, so families past the cap fall back to the cold join)
+    must emit the exact same edge set as the all-cold default — routing is
+    a physical decision, never a semantic one."""
+    from dedup.pipeline import exact_member_edges
+
+    images = spark.read.parquet(synth_parquet)
+    keys = images.select(
+        "image_id", F.sha2(F.col("bytes"), 256).alias("sha"),
+        F.when(F.crc32(F.col("image_id")) % 2 == 0, F.lit("VIRAL"))
+        .otherwise(F.col("caption")).alias("caption"),
+        "phash",
+    )
+    cold = {tuple(r) for r in exact_member_edges(keys).collect()}
+    hot = {
+        tuple(r)
+        for r in exact_member_edges(keys, hot_key_rows=2, hot_key_cap=3).collect()
+    }
+    assert hot == cold and len(cold) > 100

@@ -113,7 +113,9 @@ def test_reps_stage_has_no_window(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Window" not in p
-    assert p.count("HashAggregate") >= 2  # partial (map-side) + final min
+    # partial (map-side) + final min — min(string) has a var-width buffer,
+    # so Spark plans it sort-based; the point is the partial/final pair
+    assert p.count("SortAggregate") + p.count("HashAggregate") >= 2
 
 
 def test_error_categorization_is_jvm_only(spark):
