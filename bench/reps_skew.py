@@ -158,7 +158,13 @@ def main() -> None:
     for share in shares:
         keys = make_keys(share)
         leg = {"viral_share": share, "shapes": {}}
-        for name, builder in (("window", window_shape), ("groupby", exact_member_edges)):
+        # hot_key_rows scaled to bench size (production default 1M tracks a
+        # ~250 MB single-task group; here the viral families are 100k-1M
+        # rows, so the demo dial sits at 100k to exercise the routing)
+        def routed(k):
+            return exact_member_edges(k, hot_key_rows=100_000)
+
+        for name, builder in (("window", window_shape), ("groupby", routed)):
             t_mark = time.time() * 1000
             t0 = time.time()
             n = builder(keys).count()

@@ -71,6 +71,15 @@ class DedupConfig:
     # cost another full verify pass at corpus scale. 1 = exact (no sample).
     # Affects only the reported metric, never which pairs are duplicates.
     metrics_inter_sample_mod: int = 8
+    # reps-stage viral-key routing (pipeline.exact_member_edges): collapse
+    # keys with >= hot_key_rows members resolve via a bounded broadcast
+    # (top hot_key_cap by sampled count) instead of the shuffle join-back —
+    # pure physical routing, the edge set is identical either way (pinned by
+    # tests/test_pipeline.py::test_reps_hot_key_routing_equality). The 1M
+    # default tracks AQE's own skew bar (~250 MB single-task group); below
+    # it the cold join-back handles the group in one healthy task.
+    reps_hot_key_rows: int = 1_000_000
+    reps_hot_key_cap: int = 65_536
 
     # pure-execution knobs: tuning them can never change any stage's OUTPUT,
     # so they are excluded from config_hash — re-tuning the CC fast-path
@@ -80,7 +89,12 @@ class DedupConfig:
     # once: warehouses committed before it recompute on first touch — a
     # one-time migration cost, correct by construction since is_complete
     # only ever SKIPS work when hashes match.)
-    _EXEC_ONLY = ("cc_driver_edge_threshold", "cc_driver_max_bytes")
+    _EXEC_ONLY = (
+        "cc_driver_edge_threshold",
+        "cc_driver_max_bytes",
+        "reps_hot_key_rows",
+        "reps_hot_key_cap",
+    )
 
     def config_hash(self) -> str:
         """Stable hash of the result-affecting config — stage manifests store

@@ -62,7 +62,10 @@ STAGES = [
 
 
 def exact_member_edges(
-    keys: DataFrame, hot_key_rows: int = 100_000, hot_key_cap: int = 65_536
+    keys: DataFrame,
+    hot_key_rows: int = 1_000_000,
+    hot_key_cap: int = 65_536,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """reps stage body: exact-dup collapse edges (member -> group-min rep)
     for the three collapse keys, stacked into ONE aggregate shape.
@@ -81,15 +84,26 @@ def exact_member_edges(
     almost nothing, so it never looks "skewed" in bytes). So hot keys are
     routed DETERMINISTICALLY instead:
 
-      * the per-key row count comes free in the mins aggregate;
-      * keys with >= hot_key_rows members (top hot_key_cap by count — the
-        cap bounds the broadcast at ~cap x 300 B; keys past the cap fall
-        back to the cold join, pricing the bound like the pHash hard-cap)
-        are BROADCAST and resolved with a map-side hash join — the viral
-        key's rows are never shuffled at all;
-      * cold keys go through the sort-merge join-back, where every group
-        is < hot_key_rows by construction — no task's input scales with
-        the viral family.
+      * hot keys (>= hot_key_rows members) are DETECTED on a deterministic
+        hash sample sized so a hot key lands thousands of sampled rows
+        (frac = 2000/hot_key_rows; a miss needs a >5-sigma binomial
+        deviation), then their EXACT group mins come from one narrow
+        semi-joined second pass; detection is routing-only, so a false
+        positive just broadcasts a warm-but-safe key and a (vanishingly
+        unlikely) false negative falls back to the cold join — semantics
+        never depend on the sample. When the caller knows the corpus size
+        (corpus_rows < hot_key_rows), no key can be hot and detection runs
+        ZERO extra jobs;
+      * detected keys (top hot_key_cap by count — the cap bounds the
+        broadcast at ~cap x 300 B; keys past the cap fall back to the cold
+        join, pricing the bound like the pHash hard-cap) are BROADCAST and
+        resolved with a map-side hash join — the viral key's rows are never
+        shuffled at all;
+      * cold keys go through the sort-merge join-back, where every group is
+        < hot_key_rows by construction — no task's input scales with the
+        viral family. The default threshold tracks AQE's own skew bar: a
+        1M-row group is ~250 MB in one task, the scale where Spark itself
+        would want to split a join partition.
 
     No trailing distinct: each input row emits exactly one exploded row per
     kind (one 3-struct array element each), so (match_type, id_b) is unique
@@ -106,9 +120,7 @@ def exact_member_edges(
             "struct('simhash' AS kind, CAST(phash AS STRING) AS k)))"
         ).alias("e"),
     ).select("image_id", F.col("e.kind").alias("kind"), F.col("e.k").alias("k"))
-    mins = exploded.groupBy("kind", "k").agg(
-        F.min("image_id").alias("id_a"), F.count(F.lit(1)).alias("cnt")
-    )
+    mins = exploded.groupBy("kind", "k").agg(F.min("image_id").alias("id_a"))
 
     def edge(df: DataFrame, rep: str) -> DataFrame:
         return df.where(F.col(rep) != F.col("image_id")).select(
@@ -118,24 +130,42 @@ def exact_member_edges(
             F.lit(1.0).alias("score"),
         )
 
-    # Bounded driver collect (<= hot_key_cap rows, ~20 MB worst case — the
-    # same discipline as the engine's one-row skew aggregates): severing the
-    # hot set from the mins lineage keeps the expensive min(string)
-    # SortAggregate out of the broadcast subplans, so the final DAG computes
-    # mins exactly once, and the common no-hot case pays nothing at all.
-    hot_rows = (
-        mins.where(F.col("cnt") >= hot_key_rows)
+    plain = edge(exploded.join(mins, ["kind", "k"]), "id_a")
+    if corpus_rows is not None and corpus_rows < hot_key_rows:
+        return plain  # no key can be hot: zero detection jobs
+
+    # Detection: deterministic hash sample, bounded driver collects (<=
+    # hot_key_cap rows, ~20 MB worst case — the same discipline as the
+    # engine's one-row skew aggregates). Severing the hot set from the mins
+    # lineage keeps the expensive min(string) SortAggregate out of the
+    # broadcast subplans, so the final DAG computes mins exactly once.
+    frac = min(1.0, 2000.0 / hot_key_rows)
+    mod = max(1, int(round(1.0 / frac)))
+    cutoff = hot_key_rows if mod == 1 else max(1, int(hot_key_rows * frac / 2))
+    det = (
+        exploded.where(F.pmod(F.xxhash64("image_id"), F.lit(mod)) == 0)
+        .groupBy("kind", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= cutoff)
         .orderBy(F.desc("cnt"), "kind", "k")
         .limit(hot_key_cap)
-        .drop("cnt")
+        .select("kind", "k")
         .collect()
     )
-    if not hot_rows:
-        return edge(exploded.join(mins.drop("cnt"), ["kind", "k"]), "id_a")
+    if not det:
+        return plain
 
     spark = keys.sparkSession
+    det_keys = spark.createDataFrame(det, "kind string, k string")
+    # exact global mins for the detected keys: one narrow semi-joined pass
+    hot_rows = (
+        exploded.join(F.broadcast(det_keys), ["kind", "k"], "left_semi")
+        .groupBy("kind", "k")
+        .agg(F.min("image_id").alias("id_a"))
+        .collect()
+    )
     hot = spark.createDataFrame(hot_rows, "kind string, k string, id_a string")
-    cold = mins.drop("cnt").join(
+    cold = mins.join(
         F.broadcast(hot.select("kind", "k")), ["kind", "k"], "left_anti"
     )
     probe = exploded.join(
@@ -343,7 +373,22 @@ class Pipeline:
         # stack the three collapse keys (byte-exact, caption, phash) into
         # rows; group-min partial-aggregates map-side and the join-back is
         # AQE-skew-splittable (exact_member_edges docstring has the contract)
-        t_reps = _spawn("reps", lambda: self._stage(spark, "reps", lambda: exact_member_edges(keys)))
+        # corpus size from the committed keys manifest: below the hot-key
+        # threshold the viral-key detection sample runs zero extra jobs
+        n_keys_rows = (self.wh.manifest("keys") or {}).get("row_count")
+        t_reps = _spawn(
+            "reps",
+            lambda: self._stage(
+                spark,
+                "reps",
+                lambda: exact_member_edges(
+                    keys,
+                    cfg.reps_hot_key_rows,
+                    cfg.reps_hot_key_cap,
+                    corpus_rows=n_keys_rows,
+                ),
+            ),
+        )
 
         # ---- stage: simhash (pHash) edges — needs only `keys` -------------
         def run_simhash_stage() -> DataFrame:
@@ -537,10 +582,17 @@ class Pipeline:
                 .na.fill({"n_exact": 0, "n_minhash": 0, "n_simhash": 0, "n_substring": 0})
             )
 
-        self._stage(spark, "metrics", build_metrics)
-
-        # ---- stage: per-member outlier/probability (cluster_results shape) --
-        self._stage(spark, "member_scores", lambda: member_scores(assignments, pairs))
+        # metrics and member_scores both consume (assignments, pairs) but not
+        # each other — overlap them the same way as the post-keys fan-out
+        t_metrics = _spawn("metrics", lambda: self._stage(spark, "metrics", build_metrics))
+        t_member = _spawn(
+            "member_scores",
+            lambda: self._stage(spark, "member_scores", lambda: member_scores(assignments, pairs)),
+        )
+        for t in (t_metrics, t_member):
+            t.join()
+        if errors:
+            raise errors[0]
         return assignments
 
     @staticmethod
