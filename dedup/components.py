@@ -92,14 +92,17 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     tbl = edges.toArrow()  # Arrow batch transfer — toLocalIterator is row-by-row py4j
     n = tbl.num_rows
     if not n:
-        return spark.createDataFrame([], "image_id string, cluster_id string")
+        return spark.createDataFrame([], "image_id string, cluster_id string"), 0
     both = pa.chunked_array(tbl.column("src").chunks + tbl.column("dst").chunks)
     enc = pc.dictionary_encode(both).combine_chunks()
-    codes_raw = enc.indices.to_numpy().astype(np.int64)
+    # int32 throughout: the fast path is gated to <= ~4M edges, far under
+    # 2^31 vertices, and halving the index width halves the memory traffic
+    # of every gather/sort in the propagation loop (measured ~1.4x)
+    codes_raw = enc.indices.to_numpy().astype(np.int32)
     uniq = enc.dictionary
-    order = pc.sort_indices(uniq).to_numpy().astype(np.int64)
-    rank = np.empty(len(uniq), dtype=np.int64)
-    rank[order] = np.arange(len(uniq))
+    order = pc.sort_indices(uniq).to_numpy().astype(np.int32)
+    rank = np.empty(len(uniq), dtype=np.int32)
+    rank[order] = np.arange(len(uniq), dtype=np.int32)
     codes = rank[codes_raw]
     uniq_sorted = uniq.take(pa.array(order))
     src, dst = codes[:n], codes[n:]
@@ -110,7 +113,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     o = np.argsort(ss, kind="stable")
     ss, dd = ss[o], dd[o]
     seg_src, starts = np.unique(ss, return_index=True)
-    parent = np.arange(len(uniq_sorted))
+    parent = np.arange(len(uniq_sorted), dtype=np.int32)
     for _ in range(200):
         prev = parent
         segmin = np.minimum.reduceat(parent[dd], starts)
@@ -130,12 +133,18 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     roots = pa.table(
         {"image_id": uniq_sorted, "cluster_id": uniq_sorted.take(pa.array(parent))}
     )
-    return spark.createDataFrame(roots)
+    # exact driver-side size of the roots relation — the caller's
+    # broadcast-vs-shuffle decision for the join-back should be sized on
+    # THIS (the actual build side), not on the edge-set estimate that
+    # gated the fast path (roots is >= 2x smaller: unique endpoints, no
+    # per-edge overhead)
+    return spark.createDataFrame(roots), roots.nbytes
 
 
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 40,
     driver_edge_threshold: int | None = None, cfg: DedupConfig = DEFAULT,
+    pre_gate: tuple[int, int] | None = None,
 ) -> DataFrame:
     """edges(src,dst) + vertices(id) -> assignments(image_id, cluster_id).
 
@@ -144,7 +153,12 @@ def connected_components(
     rows AND cfg.cc_driver_max_bytes estimated driver heap take the driver
     union-find fast path; above either bound, the distributed
     large-star/small-star loop (set the threshold to 0 to force it). The
-    explicit `driver_edge_threshold` arg overrides the config row bound."""
+    explicit `driver_edge_threshold` arg overrides the config row bound.
+
+    pre_gate: optional (row_count, estimated_bytes) the caller already
+    knows — e.g. observed on the committed pairs stage's write job — which
+    skips the gate aggregate here entirely. Over-estimates are safe (the
+    gate is conservative); the routing never changes results."""
     spark = edges.sparkSession
     if driver_edge_threshold is None:
         driver_edge_threshold = cfg.cc_driver_edge_threshold
@@ -152,20 +166,23 @@ def connected_components(
         F.col("src") != F.col("dst")
     )
     # the path decision runs on the RAW edge set — one aggregate job, no
-    # shuffle. Raw counts/bytes over-estimate the distinct set, so the
-    # gate stays conservative, and the fast path skips the distinct
-    # exchange + localCheckpoint entirely: duplicate edges only add
-    # redundant adjacency rows to the driver union-find (same fixpoint),
-    # and at 1M/local[32] that distinct was ~2s of pure overhead.
-    prev = _checksum(raw)
+    # shuffle (or zero jobs with pre_gate). Raw counts/bytes over-estimate
+    # the distinct set, so the gate stays conservative, and the fast path
+    # skips the distinct exchange + localCheckpoint entirely: duplicate
+    # edges only add redundant adjacency rows to the driver union-find
+    # (same fixpoint), and at 1M/local[32] that distinct was ~2s of pure
+    # overhead.
+    prev = (pre_gate[0], 0, pre_gate[1]) if pre_gate is not None else _checksum(raw)
     if 0 < prev[0] <= driver_edge_threshold and prev[2] <= cfg.cc_driver_max_bytes:
-        roots = _driver_union_find(raw)
-        # join-back: the roots side holds only edge-touched vertices
-        # (<= 2 per edge, bytes bounded by the gate above) — broadcast it
-        # so the big vertex table never shuffles; singletons coalesce to
-        # self. The threshold mirrors the byte gate: past it, fall back to
-        # a shuffle-hash join (no sort of either side).
-        small = prev[2] <= 128 * 1024 * 1024
+        roots, roots_nbytes = _driver_union_find(raw)
+        # join-back: the roots side holds only edge-touched vertices —
+        # broadcast it so the big vertex table never shuffles; singletons
+        # coalesce to self. Sized on the EXACT Arrow bytes of the roots
+        # relation (known driver-side), not the per-edge gate estimate:
+        # at 1M dup-dense rows the estimate read ~195MB (-> shuffle_hash,
+        # two 1M-row exchanges) while the actual build side is ~25MB of
+        # strings — comfortably broadcastable.
+        small = roots_nbytes <= 128 * 1024 * 1024
         r = F.broadcast(roots) if small else roots.hint("shuffle_hash")
         return (
             vertices.select(F.col(vertices.columns[0]).alias("image_id"))

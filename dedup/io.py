@@ -89,8 +89,14 @@ class Warehouse:
         band_lo: int | None = None,
         band_hi: int | None = None,
         extra: dict | None = None,
+        observe_cols: dict | None = None,
     ) -> dict:
-        """Overwrite stage dir, then atomically commit the manifest."""
+        """Overwrite stage dir, then atomically commit the manifest.
+
+        observe_cols: extra named aggregate Columns to observe on the SAME
+        write job (zero extra passes); their values land in the manifest
+        under "observed" — how downstream stages get scalars about a
+        committed stage (e.g. the CC fast-path gate) without re-scanning."""
         path = self._dir(stage)
         # the row count is observed ON the write job — zero extra passes,
         # works on any filesystem (names are unique per (warehouse, write))
@@ -98,10 +104,16 @@ class Warehouse:
             self._obs_seq += 1
             seq = self._obs_seq
         obs = Observation(f"wh_rows_{stage}_{seq}")
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            c.alias(k) for k, c in (observe_cols or {}).items()
+        ]
         t0 = time.time()
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+        df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
         exec_ms = int((time.time() - t0) * 1000)
-        n_rows = int(obs.get["n"])
+        got = obs.get
+        n_rows = int(got["n"])
+        observed = {k: (int(v) if isinstance(v, (int, bool)) else v)
+                    for k, v in got.items() if k != "n"}
         parts = [f for f in self.fs.list_files(path)
                  if f.startswith("part-") and f.endswith(".parquet")]
         man = {
@@ -115,6 +127,7 @@ class Warehouse:
             "wall_ms": wall_ms + exec_ms,  # build (incl. eager actions) + execution
             "exec_ms": exec_ms,
             "committed_at": int(time.time() * 1000),
+            **({"observed": observed} if observed else {}),
             **(extra or {}),
         }
         write_json_atomic(self.fs, self._manifest_path(stage), man)

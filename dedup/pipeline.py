@@ -510,15 +510,32 @@ class Pipeline:
                 .dropDuplicates(["id_a", "id_b", "match_type"])
             )
 
-        pairs = self._stage(spark, "pairs", build_pairs)
+        # the CC fast-path gate (edge count + estimated driver bytes) is
+        # observed ON the pairs write — the assignments stage then skips its
+        # own gate aggregate job (1-2s of serial-chain constant at 1M)
+        pairs = self._stage(
+            spark, "pairs", build_pairs,
+            observe_cols={
+                "edge_bytes_est": F.coalesce(
+                    F.sum(F.length("id_a") + F.length("id_b") + F.lit(48)), F.lit(0)
+                )
+            },
+        )
 
         # ---- stage: assignments (CC) ---------------------------------------
+        pairs_man = self.wh.manifest("pairs") or {}
+        gate = None
+        if "edge_bytes_est" in pairs_man.get("observed", {}):
+            # pairs rows always have id_a < id_b, so the src!=dst filter
+            # drops nothing: the committed count/bytes ARE the gate values
+            gate = (pairs_man["row_count"], pairs_man["observed"]["edge_bytes_est"])
         assignments = self._stage(
             spark, "assignments",
             lambda: connected_components(
                 pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
                 keys.select("image_id"),
                 cfg=cfg,
+                pre_gate=gate,
             ),
         )
 
