@@ -91,13 +91,29 @@ def main() -> None:
         "pipeline_rows": PIPELINE_ROWS,
         "images_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
     }
-    # attach the committed N->4N scaling evidence (bench/scaling.py output;
-    # see BENCH.md for methodology — measured on an idle box, not per-round)
+    # attach a COMPACT summary of the committed N->4N scaling evidence
+    # (bench/scaling.py output; BENCH.md has methodology). The full blob
+    # made the one-line JSON exceed the driver's tail window in r03
+    # ("parsed": null) — keep the line parseable, point at the file.
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "bench", "scaling_result.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
+            s = json.load(f)
+        out["scaling"] = {
+            "gate": s.get("gate"),
+            "pass": s.get("pass"),
+            "legs": {
+                name: {
+                    "efficiency": leg.get("efficiency"),
+                    "speedup": leg.get("speedup"),
+                    "N_wall_sec": leg.get("N", {}).get("wall_sec"),
+                    "fourN_wall_sec": leg.get("fourN", {}).get("wall_sec"),
+                }
+                for name, leg in s.get("legs", {}).items()
+            },
+            "detail_file": "bench/scaling_result.json",
+        }
     spark.stop()
     print(json.dumps(out))
 
