@@ -8,17 +8,19 @@ both shapes:
   window   min().over(Window.partitionBy(kind, k)) — the pre-r04 shape:
            each key group materializes in ONE task, so the viral key is a
            single-task straggler;
-  groupby  groupBy(kind, k).agg(min) + join-back (exact_member_edges) —
-           partial-aggregated map-side, AQE-skew-splittable join.
+  groupby  groupBy(kind, k).agg(min) + join-back with deterministic
+           hot-key broadcast routing (exact_member_edges) — AQE's skew
+           split was MEASURED unable to fire on this plan family (see the
+           exact_member_edges docstring / PLANS.md round-4 notes), hence
+           the explicit routing.
 
 The bench emulates the at-scale regime, where median shuffle partitions are
 small but a hot key cannot be split: shuffle partitions are set high
 (cores*16) so a median task holds ~rows/(cores*16) rows while the window's
-hot (kind, k) partition holds all viral rows in ONE task, and the AQE byte
-thresholds (advisory size, skew threshold) are scaled down to bench bytes
-so the skew-join split fires at this scale exactly as the default 256 MB
-threshold would at 100 TB. Captions carry a ~200 B payload so partition
-weight is bytes, not just row count.
+hot (kind, k) partition holds all viral rows in ONE task; the AQE byte
+knobs are scaled down to bench bytes so coalescing behaves as the defaults
+would against 100 TB partitions. Captions carry a ~200 B payload so
+partition weight is bytes, not just row count.
 
 Task-time spread comes from the Spark UI REST API (enabled just for this
 bench): for each run we report the stage with the LONGEST single task —
@@ -108,6 +110,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
+    # actual bound UI port — 4040 may be taken by another driver on this
+    # shared host, in which case Spark binds 4041+ and a hardcoded port
+    # would query a different application's REST API
+    ui_port = int((spark.sparkContext.uiWebUrl or "http://x:4040").rsplit(":", 1)[1])
 
     def make_keys(share: float):
         # keys-shaped table, generated JVM-side: `share` of rows carry ONE
@@ -169,7 +175,7 @@ def main() -> None:
             t0 = time.time()
             n = builder(keys).count()
             wall = round(time.time() - t0, 2)
-            spread = task_spread(4040, app_id, t_mark)
+            spread = task_spread(ui_port, app_id, t_mark)
             leg["shapes"][name] = {"wall_sec": wall, "edges": n, **spread}
             print(f"# share={share} {name}: {wall}s ({n} edges) {spread}", file=sys.stderr)
         a, b = leg["shapes"]["window"], leg["shapes"]["groupby"]

@@ -67,9 +67,11 @@ def _checksum(e: DataFrame) -> tuple[int, int, int]:
     return int(row["n"]), int(row["h"]), int(row["b"])
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(edges: DataFrame) -> tuple[DataFrame, int]:
     """Small-edge-set fast path: collect + vectorized min-label propagation
-    on the driver, same min-root semantics as the distributed loop. The
+    on the driver, same min-root semantics as the distributed loop. Returns
+    (roots DataFrame, exact Arrow byte size of the roots relation — the
+    caller's broadcast sizing). The
     distributed star loop costs ~5 rounds x 4 shuffles of driver latency;
     below the threshold that latency dominates the actual work — the same
     size-adaptive reasoning AQE applies when it broadcasts a small join side.

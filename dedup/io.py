@@ -151,16 +151,10 @@ class Warehouse:
 
     def stage_order(self) -> list[str]:
         """Committed stage names in first-commit order (from lineage). This —
-        not a static constant — is authoritative for invalidation: auto band
+        not a static constant — is authoritative for enumeration: auto band
         grouping commits data-dependent stage names (scored_minhash_b00_31
         vs four b00_07.. groups), which a hardcoded list misses (r03
-        advice). A stage only starts after every stage it depends on has
-        committed, so first-seen lineage order is a linear extension of the
-        dependency order — concurrent tail stages (reps / edges_simhash /
-        edges_substring overlap the band groups) may interleave, but a
-        dependent always appears after its inputs, so invalidating from any
-        stage drops a SUPERSET of its dependents (extra drops are safe
-        recomputes, never a stale reuse)."""
+        advice)."""
         seen: list[str] = []
         for entry in self.lineage():
             if entry["stage"] not in seen:
@@ -168,10 +162,28 @@ class Warehouse:
         return seen
 
     def invalidate_after(self, stage: str, ordered_stages: list[str] | None = None) -> None:
-        """Drop manifests for `stage` and everything after it (kill/resume
-        tests). With no explicit list, the warehouse's own committed lineage
-        order is used — which knows the auto-resolved band-group names."""
-        order = ordered_stages if ordered_stages is not None else self.stage_order()
-        if stage in order:
-            for s in order[order.index(stage):]:
+        """Drop manifests for `stage` and every stage that may depend on it
+        (kill/resume tests, stage rebuilds).
+
+        With no explicit list, the cut is by CURRENT manifest commit time,
+        not journal first-seen order: a stage committed at time T consumed
+        only inputs committed before T, so dropping every currently-complete
+        stage with committed_at >= committed_at(stage) is a conservative
+        superset of its dependents (extra drops are safe recomputes, never a
+        stale reuse). First-seen journal order is NOT safe across runs: the
+        append-only journal spans regroupings, so a band-group name first
+        committed in a later run appears after its own dependents and an
+        order-based cut would leave them marked complete."""
+        if ordered_stages is not None:
+            if stage in ordered_stages:
+                for s in ordered_stages[ordered_stages.index(stage):]:
+                    self.fs.delete(self._manifest_path(s))
+            return
+        target = self.manifest(stage)
+        if target is None:
+            return
+        cut = target["committed_at"]
+        for s in self.stage_order():
+            m = self.manifest(s)
+            if m is not None and m["committed_at"] >= cut:
                 self.fs.delete(self._manifest_path(s))

@@ -110,6 +110,18 @@ def exact_member_edges(
     by construction and the distinct was a full no-op shuffle of the edge
     set. Plan-pinned window-free in tests/test_plans.py; hot/cold routing
     equality pinned in tests/test_pipeline.py.
+
+    NULL collapse keys are dropped by the equi-join (Catalyst inserts
+    isnotnull(k) under the explode) — a DELIBERATE semantic vs the r03
+    window shape, which partitioned all NULL-caption rows together and
+    merged every captionless image into ONE cluster (an over-merge; NULL
+    never equals NULL in a join, and two absent captions are no evidence of
+    duplication). Byte-identical NULL-caption rows still collapse through
+    the exact tier: concat_ws skips NULLs, so k_exact degrades to the bare
+    sha — the same NULL contract the streaming tier pins in
+    tests/test_streaming.py. Pinned by test_reps_null_caption_contract.
+    A warehouse committed before r04 resumes with the old edges until its
+    reps stage is invalidated (config_hash does not cover code).
     Semantics of /root/reference/eridu/etl/filter.py:51-57."""
     exploded = keys.select(
         "image_id",
@@ -362,7 +374,14 @@ class Pipeline:
                     # each submitting thread names its own FAIR pool
                     spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
                     results[name] = thunk()
-                except BaseException as e:  # re-raised on the main thread
+                except BaseException as e:
+                    # first error re-raised on the main thread; every
+                    # failure is surfaced here so secondaries aren't lost
+                    import sys as _sys
+                    import traceback
+
+                    print(f"stage thread {name!r} failed:", file=_sys.stderr)
+                    traceback.print_exc()
                     errors.append(e)
 
             t = threading.Thread(target=tgt, name=f"stage-{name}", daemon=True)
@@ -464,6 +483,11 @@ class Pipeline:
                 self._stage(spark, f"scored_minhash_b{lo:02d}_{hi:02d}", build_scored,
                             band_lo=lo, band_hi=hi)
             )
+            # fail fast: a tail-stage thread that died seconds into the run
+            # must not wait out the whole band pass (hours at scale) before
+            # surfacing at the pairs barrier
+            if errors:
+                raise errors[0]
             # the stage write has committed: release this group's banded cache
             for b in cached:
                 b.unpersist()

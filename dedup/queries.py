@@ -1538,7 +1538,12 @@ def q49(spark, sf):
             (F.col("doc_id") < 200).alias("is_b0"),
         )
     )
-    root = f"/tmp/q49_stream_{abs(hash(_os.path.abspath(sf))) % 10**8}"
+    # stable digest, NOT builtin hash(): PYTHONHASHSEED salts hash() per
+    # process, which would mint (and leak) a fresh /tmp dir on every run
+    import hashlib as _hashlib
+
+    _tag = _hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:8]
+    root = f"/tmp/q49_stream_{_tag}"
     _shutil.rmtree(root, ignore_errors=True)
     landing = _os.path.join(root, "landing")
     _os.makedirs(landing)

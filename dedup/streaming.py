@@ -160,7 +160,17 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     key tables, so the broadcasts are always small). Plan-pinned windowless
     in tests/test_streaming.py."""
     batch_roots = keyed.groupBy("k_caption").agg(F.min("image_id").alias("batch_root"))
-    exact_roots = keyed.groupBy("k_exact").agg(F.min("image_id").alias("exact_root"))
+    # exact_root is only ever REACHED for NULL-caption rows (every captioned
+    # row resolves batch_root from its own caption group first), and a
+    # NULL-caption row's k_exact is the bare sha, which can never equal a
+    # captioned row's 'sha|caption' — so aggregating over only the
+    # NULL-caption slice is semantically identical and removes a
+    # full-batch aggregate + broadcast from every trigger (review finding).
+    exact_roots = (
+        keyed.where(F.col("k_caption").isNull())
+        .groupBy("k_exact")
+        .agg(F.min("image_id").alias("exact_root"))
+    )
     return (
         keyed.join(hit, "image_id", "left")
         .join(F.broadcast(batch_roots), "k_caption", "left")

@@ -120,3 +120,35 @@ def test_stream_state_on_hadoop_uri(spark, tmp_path):
     asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
     got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
     assert got["zlate000001"] == got[rows[0]["image_id"]]
+
+
+def test_invalidate_after_cross_run_regroup(spark, tmp_path):
+    """The invalidation cut is by CURRENT manifest commit time, not journal
+    first-seen order: when a later run commits a band-group name the journal
+    first saw AFTER its own dependents (auto regrouping across runs), the
+    time-based cut still drops those dependents (review finding — the
+    first-seen cut left them marked complete for stale reuse)."""
+    import time as _t
+
+    from dedup.io import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), "cfg")
+    one = spark.range(1)
+
+    # run 1: sigs -> scored_minhash_b00_07 -> pairs
+    for s in ("signatures", "scored_minhash_b00_07", "pairs"):
+        wh.write(one, s)
+        _t.sleep(0.002)  # distinct committed_at ms
+    wh.invalidate_after("signatures")
+    assert not wh.is_complete("pairs")
+
+    # run 2 regroups: sigs -> scored_minhash_b00_31 (NEW name, first seen
+    # in the journal after run 1's 'pairs') -> pairs
+    for s in ("signatures", "scored_minhash_b00_31", "pairs"):
+        wh.write(one, s)
+        _t.sleep(0.002)
+
+    wh.invalidate_after("scored_minhash_b00_31")
+    assert not wh.is_complete("scored_minhash_b00_31")
+    assert not wh.is_complete("pairs")          # dependent dropped
+    assert wh.is_complete("signatures")         # upstream untouched

@@ -267,3 +267,29 @@ def test_reps_hot_key_routing_equality(spark, synth_parquet):
         for r in exact_member_edges(keys, hot_key_rows=2, hot_key_cap=3).collect()
     }
     assert hot == cold and len(cold) > 100
+
+
+def test_reps_null_caption_contract(spark):
+    """NULL collapse keys emit NO edges from the caption/phash tiers (NULL
+    is no evidence of duplication — the r03 window shape over-merged every
+    captionless image into one cluster), while byte-identical NULL-caption
+    rows still collapse through the exact tier (concat_ws drops the NULL,
+    leaving the bare sha) — the same NULL contract as the streaming tier."""
+    from dedup.pipeline import exact_member_edges
+
+    keys = spark.createDataFrame(
+        [
+            ("a", "s1", None, 1),   # same bytes as b, no caption
+            ("b", "s1", None, 2),   # -> merge via exact tier (sha-only key)
+            ("c", "s2", None, 3),   # different bytes, no caption -> singleton
+            ("d", "s3", "cap", 4),
+            ("e", "s4", "cap", 4),  # caption + phash dup of d
+        ],
+        "image_id string, sha string, caption string, phash long",
+    )
+    got = {(r.id_a, r.id_b, r.match_type) for r in exact_member_edges(keys).collect()}
+    assert got == {
+        ("a", "b", "exact"),      # NULL-caption byte twins collapse
+        ("d", "e", "minhash"),    # captioned dup family unaffected
+        ("d", "e", "simhash"),
+    }
