@@ -168,21 +168,37 @@ def lsh_near_pairs(
 
     bits="auto" sizes the code width from a one-off corpus count
     (auto_bits), so per-bucket join volume stays bounded as the corpus
-    grows instead of freezing a small-scale config."""
+    grows instead of freezing a small-scale config.
+
+    Shape (r04, measured 100.9s -> seconds at 2k x 128-dim x 24 tables):
+    the bucket self-join ships (id, bucket) ONLY — the previous shape
+    carried the full vector array through the exploded bucket shuffle
+    (duplicated x tables) and evaluated the cosine per COLLISION and twice
+    per row (filter + projection re-evaluate; array aggregates are
+    interpreted CodegenFallback, ~10us each). Candidates are deduped
+    across tables FIRST (distinct (id_a,id_b) of slim rows), then the
+    vectors join back and the exact cosine_expr — the SAME expression the
+    q32 exact twin uses, so emitted values match bit-for-bit — runs ONCE
+    per distinct candidate pair via select-then-filter."""
     if bits == "auto":
         bits = auto_bits(embeddings.count())
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     b = with_lsh_buckets(embeddings, dim, bits, tables, seed, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode("buckets").alias("bk")
+        F.col(id_col).alias("id"), F.explode("buckets").alias("bk")
     )
     x, y = b.alias("x"), b.alias("y")
-    cos = cosine_expr("x.vec", "y.vec")
-    return (
+    cand = (
         x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.id") < F.col("y.id")))
-        .where(cos >= F.lit(threshold))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+    )
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("_cos"))
+    )
+    # threshold on the UNROUNDED value (exactly as the q32 twin filters),
+    # round only for emission — keeps borderline pairs identical
+    return scored.where(F.col("_cos") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("_cos", 6).alias("cosine")
     )
