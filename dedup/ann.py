@@ -93,16 +93,22 @@ def batch_topk_lsh(
 
     if bits == "auto":
         bits = auto_bits(embeddings.count())
+    # slim candidate generation (the q33 lesson): the bucket join and the
+    # cross-table dedup shuffle ship ids only — the corpus vector would
+    # otherwise travel once per table through the explode and then again
+    # (with the probe vector) through the dropDuplicates exchange
     c = with_lsh_buckets(embeddings, dim, bits, tables, seed, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.explode("buckets").alias("bk")
+        F.col(id_col), F.explode("buckets").alias("bk")
     )
     p = with_lsh_buckets(probes, dim, bits, tables, seed, probe_vec_col).select(
-        F.col(probe_id_col), F.col(probe_vec_col), F.explode("buckets").alias("bk")
+        F.col(probe_id_col), F.explode("buckets").alias("bk")
     )
     cand = (
         c.join(F.broadcast(p), "bk")
         .where(F.col(id_col) != F.col(probe_id_col))
         .dropDuplicates([probe_id_col, id_col])
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
