@@ -1534,7 +1534,15 @@ def q49(spark, sf):
             F.encode(F.col("text"), "UTF-8").alias("bytes"),
             F.lit(1).alias("w"), F.lit(1).alias("h"), F.lit("raw").alias("fmt"),
             F.expr("array_join(slice(split(lower(text), ' '), 1, 2), ' ')").alias("caption"),
-            F.lit(0).cast("long").alias("phash"),
+            # caption-determined pHash: the stream's pHash tier (key fold +
+            # state lookups) genuinely executes, but pHash equality <=>
+            # caption equality (64-bit xxhash collisions aside), so it adds
+            # no merges beyond the caption tier and the SQL twin stays an
+            # exact model. The pHash tier's own merge semantics are pinned
+            # by tests/test_streaming.py::test_phash_tier_* instead (not
+            # SQL-expressible: priority resolution + arrival order).
+            F.xxhash64(F.expr("array_join(slice(split(lower(text), ' '), 1, 2), ' ')"))
+            .alias("phash"),
             (F.col("doc_id") < 200).alias("is_b0"),
         )
     )

@@ -6,11 +6,21 @@ landing directory -> `foreachBatch` incremental assignment against a
 persistent key-state table.
 
 Semantics (exact-dup tier, the streaming analog of the pipeline's reps
-stage): a new row joins the cluster of any previously-seen identical caption
-or byte-hash; otherwise it roots a new cluster at its own id. Fuzzy tiers
-(MinHash/pHash) run as periodic batch compaction over the accumulated input —
-LSH band state is not meaningfully incremental at one-row granularity, and
-the batch pipeline is already resumable.
+stage): a new row joins the cluster of any previously-seen identical
+byte-hash, caption, or pHash — the SAME three collapse keys the batch reps
+stage stacks (dedup/pipeline.py keys/reps) — preferring the
+highest-confidence match (exact > caption > pHash) when several state keys
+hit; otherwise it roots a new cluster at its own id. Fuzzy tiers (MinHash
+bands / pHash Hamming<=d) run as periodic batch compaction over the
+accumulated input — LSH band state is not meaningfully incremental at
+one-row granularity, and the batch pipeline is already resumable.
+
+State keys are kind-prefixed ("e|sha|caption", "c|caption", "p|<phash>") so
+tiers can never collide in the flat key-state table — a caption that IS a
+decimal string must not equi-join a pHash key (the batch tier gets this for
+free from its (kind, k) pair). The prefix scheme is versioned in the state
+manifest (key_format); folding into a state written under another format
+refuses loudly rather than silently never matching.
 
 State layout (crash-safe, O(touched) I/O per micro-batch):
 
@@ -40,6 +50,12 @@ from .fs import get_fs, read_json, write_json_atomic
 from .schema import IMAGES
 
 N_BUCKETS = 64
+# state-key encoding version: bumped whenever the key construction in
+# _assign_batch changes (v2 = kind-prefixed keys + pHash tier). A manifest
+# written under another format would never equi-join the new keys — state
+# lookups would silently miss and every arrival would re-root — so commit
+# and read refuse a mismatched format instead.
+KEY_FORMAT = 2
 
 
 class StreamState:
@@ -71,6 +87,16 @@ class StreamState:
     def bucket_col(self, key_col: str) -> F.Column:
         return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
 
+    def _check_key_format(self, man: dict) -> None:
+        got = man.get("key_format", 1)
+        if got != KEY_FORMAT:
+            raise RuntimeError(
+                f"state at {self.root} was written with key_format {got}, this "
+                f"engine writes {KEY_FORMAT}: its keys would never equi-join, "
+                "silently re-rooting every arrival. Start a fresh state "
+                "warehouse (rerun compaction to rebuild assignments)."
+            )
+
     def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
         """State rows of the requested buckets only (empty DF when no state).
 
@@ -80,6 +106,7 @@ class StreamState:
         empty = spark.createDataFrame([], "key string, rep_id string")
         if man is None:
             return empty
+        self._check_key_format(man)
         paths = [man["buckets"][str(b)] for b in buckets if str(b) in man["buckets"]]
         if not paths:
             return empty
@@ -98,6 +125,8 @@ class StreamState:
         buckets before the (lazy) state read ran. So a committed batch_id is
         an early return, never a rewrite."""
         man = self.manifest()
+        if man is not None:
+            self._check_key_format(man)
         if man is not None and man.get("batch_id") is not None:
             if man["batch_id"] == batch_id:
                 return  # checkpoint-replay of the just-committed batch
@@ -116,7 +145,7 @@ class StreamState:
                 )
         vdir = os.path.join(self.root, f"v{batch_id:09d}")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
-        man = man or {"n_buckets": self.n_buckets, "buckets": {}}
+        man = man or {"n_buckets": self.n_buckets, "buckets": {}, "key_format": KEY_FORMAT}
         assert man.get("n_buckets", self.n_buckets) == self.n_buckets, (
             "n_buckets changed mid-stream; state is keyed on it"
         )
@@ -142,15 +171,26 @@ class StreamState:
 
 
 def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
-    """cluster_id per batch row: state hit wins, else min image_id within the
-    batch's own caption group (caption equality subsumes the sha+caption key,
-    so byte-identical and caption-identical rows of one batch land together),
+    """cluster_id per batch row: state hit wins (the priority-resolved rep
+    over the row's exact/caption/pHash keys — see _assign_batch), else min
+    image_id within the batch's own caption group (caption equality subsumes
+    the sha+caption key, so byte-identical and caption-identical rows of one
+    batch land together),
     else — for NULL-caption rows, where the caption equi-join can never match
     — min image_id within the batch's byte-exact (k_exact) group, so
     byte-identical NULL-caption rows still collapse in-batch (r03 advice:
     they used to self-root separately). The exact fallback sits AFTER the
     caption root in the coalesce: putting it first would split same-caption
     different-bytes rows that the caption tier must merge.
+
+    The pHash key deliberately does NOT get an in-batch root: two same-batch
+    rows sharing a pHash but nothing else stay separate until a later
+    arrival (or compaction) links them through state — a pHash root ahead of
+    the caption root would split caption groups, and behind it it is
+    unreachable (every row resolves caption/exact first). Under-merge is the
+    safe direction: the stream contract is refine-never-split, and the
+    compaction pipeline's edge set (which includes pHash-equality edges,
+    kind 'simhash') heals it.
 
     Shape: groupBy-min + BROADCAST joins, the batch pipeline's reps-stage
     pattern — a window partitioned by caption would sort every same-caption
@@ -162,8 +202,8 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     batch_roots = keyed.groupBy("k_caption").agg(F.min("image_id").alias("batch_root"))
     # exact_root is only ever REACHED for NULL-caption rows (every captioned
     # row resolves batch_root from its own caption group first), and a
-    # NULL-caption row's k_exact is the bare sha, which can never equal a
-    # captioned row's 'sha|caption' — so aggregating over only the
+    # NULL-caption row's k_exact is 'e|sha' (concat_ws skips the NULL), which
+    # can never equal a captioned row's 'e|sha|caption' — so aggregating over only the
     # NULL-caption slice is semantically identical and removes a
     # full-batch aggregate + broadcast from every trigger (review finding).
     exact_roots = (
@@ -193,15 +233,30 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
 
     keyed = batch.select(
         "image_id",
-        F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption")).alias("k_exact"),
-        F.col("caption").alias("k_caption"),
+        F.concat(
+            F.lit("e|"), F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption"))
+        ).alias("k_exact"),
+        F.concat(F.lit("c|"), F.col("caption")).alias("k_caption"),
+        F.concat(F.lit("p|"), F.col("phash").cast("string")).alias("k_phash"),
     )
-    # longest-match: exact (sha+caption) key first, then caption key.
-    # NULL keys (a NULL caption's k_caption) are dropped: they can never
-    # match an equi-join lookup, so folding them into state would only
-    # accumulate dead NULL-key rows across batches (r03 advice)
+    # the batch reps stage's three collapse keys, kind-prefixed (module
+    # docstring) and priority-ordered: an exact hit outranks a caption hit
+    # outranks a pHash hit, so a row matching several state keys adopts the
+    # highest-confidence rep — and, because every row of one caption group
+    # folds ALL its keys with the one cluster id the group was assigned,
+    # exact/caption reps of related keys are always equal: the priority rule
+    # reproduces the old min(rep) semantics exactly on the exact+caption
+    # lattice, and only the cross-cutting pHash key can introduce a
+    # lower-priority alternative (which must NOT split a caption group —
+    # hence the ordering, pinned in tests/test_streaming.py).
+    # NULL keys (a NULL caption's k_caption, a NULL phash's k_phash — plain
+    # concat propagates NULL) are dropped: they can never match an equi-join
+    # lookup, so folding them into state would only accumulate dead NULL-key
+    # rows across batches (r03 advice)
     exploded = (
-        keyed.selectExpr("image_id", "stack(2, k_exact, k_caption) AS key")
+        keyed.selectExpr(
+            "image_id", "stack(3, 0, k_exact, 1, k_caption, 2, k_phash) AS (prio, key)"
+        )
         .where(F.col("key").isNotNull())
         .withColumn("bucket", state.bucket_col("key"))
     )
@@ -214,10 +269,14 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         # a schema from (UNABLE_TO_INFER_SCHEMA).
         return
     seen = state.read_buckets(spark, touched)
+    # inner join: only rows with at least one state match appear; min-struct
+    # picks the rep of the highest-priority (lowest prio) matching key, and
+    # partial-aggregates map-side like any min
     hit = (
-        exploded.join(seen, "key", "left")
+        exploded.join(seen, "key")
         .groupBy("image_id")
-        .agg(F.min("rep_id").alias("rep_id"))
+        .agg(F.min(F.struct("prio", "rep_id")).alias("h"))
+        .select("image_id", F.col("h.rep_id").alias("rep_id"))
     )
     assigned = _batch_assignments(keyed, hit)
     out = assigned.select("image_id", "cluster_id")
@@ -227,7 +286,7 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
     # the merge idempotent under checkpoint replay. NULL keys filtered for
     # the same reason as the lookup side: dead state that never equi-joins
     new_keys = assigned.selectExpr(
-        "cluster_id AS rep_id", "stack(2, k_exact, k_caption) AS key"
+        "cluster_id AS rep_id", "stack(3, k_exact, k_caption, k_phash) AS key"
     ).where(F.col("key").isNotNull())
     merged = (
         seen.unionByName(new_keys)

@@ -76,8 +76,8 @@ def test_untouched_buckets_survive_micro_batch(spark, tmp_path):
     with open(man_path) as f:
         man2 = json.load(f)
     changed = [b for b in man1["buckets"] if man1["buckets"][b] != man2["buckets"].get(b)]
-    # one row -> two keys -> at most 2 buckets rewritten
-    assert 1 <= len(changed) <= 2
+    # one row -> three keys (exact/caption/pHash) -> at most 3 buckets rewritten
+    assert 1 <= len(changed) <= 3
     for b, d in man1["buckets"].items():
         if b in changed:
             continue
@@ -338,3 +338,110 @@ def test_null_caption_exact_dups_collapse_in_batch(spark, tmp_path):
     # distinct bytes + NULL caption stay apart (no NULL-group over-merge)
     assert got[rows[1]["image_id"]] != got[rows[0]["image_id"]]
     assert all(v is not None for v in got.values())
+
+
+def _row(image_id, caption, phash, payload):
+    return {
+        "image_id": image_id, "bytes": payload, "w": 1, "h": 1, "fmt": "raw",
+        "caption": caption, "phash": phash,
+    }
+
+
+def test_phash_tier_merges_across_batches(spark, tmp_path):
+    """The stream's third collapse key (pHash equality — the batch reps
+    stage's 'simhash' kind): a later arrival whose pHash matches a seen row
+    joins its cluster even with unrelated caption and bytes; an unseen pHash
+    self-roots. NULL-caption rows, where the caption tier can never match,
+    also link across batches through the pHash key alone."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [
+        _row("a0000001", "red fox", 7, b"\x01"),
+        _row("a0000002", None, 42, b"\x02"),
+    ]
+    b1 = [
+        _row("b0000001", "blue crane", 7, b"\x03"),   # pHash hit -> joins a1
+        _row("b0000002", "green tram", 8, b"\x04"),   # unseen pHash -> roots
+        _row("b0000003", None, 42, b"\x05"),          # captionless pHash hit
+    ]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh)
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["b0000001"] == got["a0000001"] == "a0000001"
+    assert got["b0000002"] == "b0000002"
+    assert got["b0000003"] == got["a0000002"] == "a0000002"
+
+
+def test_phash_key_cannot_collide_with_caption_key(spark, tmp_path):
+    """Kind-prefixed state keys: a caption that IS a decimal string must
+    never equi-join a pHash key of the same digits (flat key table, so only
+    the prefix separates the tiers)."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    _assign_batch(
+        spark.createDataFrame(synth.to_arrow([_row("a0000001", "123", 555, b"\x01")]).to_pandas()),
+        0, wh,
+    )
+    _assign_batch(
+        spark.createDataFrame(synth.to_arrow([_row("b0000001", "zzz", 123, b"\x02")]).to_pandas()),
+        1, wh,
+    )
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["b0000001"] == "b0000001"  # phash 123 != caption "123"
+
+
+def test_phash_hit_priority_never_splits_caption_group(spark, tmp_path):
+    """A row matching BOTH a caption key and a (different-rep) pHash key must
+    adopt the caption rep: caption groups stay coherent, and the pHash link
+    is left to compaction (under-merge, never a split)."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [
+        _row("a0000001", "caption one", 1, b"\x01"),
+        _row("a0000002", "caption two", 2, b"\x02"),
+    ]
+    # c matches caption of a2 (rep a0000002) and pHash of a1 (rep a0000001,
+    # the LOWER id — a min-over-reps rule would pick it and split the group)
+    b1 = [_row("c0000001", "caption two", 1, b"\x03")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh)
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["c0000001"] == got["a0000002"] == "a0000002"
+    assert got["c0000001"] != got["a0000001"]
+
+
+def test_key_format_mismatch_refuses(spark, tmp_path):
+    """State written under another key encoding would never equi-join the
+    current keys — lookups silently miss and every arrival re-roots. Both
+    the read and the commit path must refuse instead."""
+    import json
+
+    import pytest as _pytest
+
+    from dedup.streaming import StreamState, _assign_batch
+
+    wh = str(tmp_path / "wh")
+    _assign_batch(
+        spark.createDataFrame(synth.to_arrow([_row("a0000001", "x", 1, b"\x01")]).to_pandas()),
+        0, wh,
+    )
+    man_path = os.path.join(wh, "stream_state", "_state_manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    del man["key_format"]  # simulate a v1 (pre-prefix) state warehouse
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    state = StreamState(os.path.join(wh, "stream_state"))
+    with _pytest.raises(RuntimeError, match="key_format"):
+        state.read_buckets(spark, [0])
+    with _pytest.raises(RuntimeError, match="key_format"):
+        _assign_batch(
+            spark.createDataFrame(synth.to_arrow([_row("b0000001", "y", 2, b"\x02")]).to_pandas()),
+            1, wh,
+        )
