@@ -65,9 +65,11 @@ class StreamState:
     through the fs shim (dedup/fs.py), so the state warehouse works on
     hdfs://-s3a:// roots, not just driver-local disk (r03 judge item)."""
 
-    def __init__(self, root: str, n_buckets: int = N_BUCKETS):
+    def __init__(self, root: str, n_buckets: int = N_BUCKETS,
+                 columns: str = "key string, rep_id string"):
         self.root = root
         self.n_buckets = n_buckets
+        self.columns = columns  # state row schema (first column must be `key`)
         self._fs = None
 
     @property
@@ -103,14 +105,15 @@ class StreamState:
         Read errors propagate: the manifest is the source of truth, and a
         path it references that fails to read is corruption, not emptiness."""
         man = self.manifest()
-        empty = spark.createDataFrame([], "key string, rep_id string")
+        empty = spark.createDataFrame([], self.columns)
         if man is None:
             return empty
         self._check_key_format(man)
         paths = [man["buckets"][str(b)] for b in buckets if str(b) in man["buckets"]]
         if not paths:
             return empty
-        return spark.read.parquet(*paths).select("key", "rep_id")
+        cols = [c.strip().split()[0] for c in self.columns.split(",")]
+        return spark.read.parquet(*paths).select(*cols)
 
     def commit(self, merged: DataFrame, touched: list[int], batch_id: int) -> None:
         """Write merged state for `touched` buckets to a fresh version dir,
@@ -226,13 +229,142 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     )
 
 
-def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
+# per band key, state keeps at most this many (rep_id, rep_caption) rows —
+# the smallest by (rep_id, rep_caption), deterministically. A hot band
+# bucket (low-entropy captions) would otherwise grow state and candidate
+# joins without bound; the cap is the stream analog of the batch tier's
+# bucket_cap: a bounded, PRICED recall trade (a new arrival can only be
+# verified against the kept reps; anything it misses, compaction heals).
+BAND_STATE_CAP = 8
+
+
+def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
+    """Opt-in in-stream MinHash tier: link NEW clusters of this batch to
+    previously-seen near-duplicate captions, at the batch pipeline's OWN
+    acceptance criterion.
+
+    A separate bucketed band-state table maps LSH band keys ("m|<bandhash>",
+    same minhash kernel + banding config as dedup/lsh.py) to up to
+    BAND_STATE_CAP (rep_id, rep_caption) rows. For each cluster that rooted
+    NEW this batch (no exact-tier state hit), band collisions against state
+    propose candidate reps, and a candidate merges ONLY if the exact shingle
+    Jaccard between the two captions clears cfg.jaccard_threshold — the same
+    kernel (signatures.batch_shingles) and the same threshold the batch
+    pipeline's verify applies, so every stream fuzzy merge is a pair the
+    compaction pipeline itself would accept (refine-never-split; the only
+    asymmetry is batch-side bucket_cap drops, healed by compact_fuzzy's
+    span fix-up). The whole cluster remaps together — per-row remapping
+    could split a caption group.
+
+    In-batch near-dup pairs (both clusters new this batch) deliberately do
+    NOT merge — state is read at its pre-batch commit — mirroring the pHash
+    tier's in-batch rule: under-merge is the safe direction.
+
+    Returns (remapped assigned, (commit_fn, touched_buckets)) — the caller
+    commits band state LAST (see _assign_batch) so crash replay stays
+    idempotent."""
+    from .deploy import ensure_shipped
+    from .lsh import band_keys_expr, with_minhash, with_shingles
+
+    ensure_shipped(spark)  # the minhash/shingle pandas UDFs run on workers
+    band_state = StreamState(
+        os.path.join(warehouse, "band_state"),
+        columns="key string, rep_id string, rep_caption string",
+    )
+    # one row per distinct (cluster, caption) of the batch — folded for ALL
+    # clusters (hit or new) so checkpoint replay, where every row resolves
+    # through the just-committed exact keys and nothing is "new", still
+    # folds the identical band rows
+    cands = (
+        assigned.where(F.col("caption").isNotNull())
+        .select("cluster_id", "caption")
+        .distinct()
+    )
+    keyed_b = (
+        with_minhash(cands, "caption", cfg)
+        .select("cluster_id", "caption", F.explode(F.expr(band_keys_expr(cfg))).alias("bh"))
+        # band index is already mixed into the hash (xxhash64(b, slice)),
+        # so the flat key needs no band field
+        .select(
+            "cluster_id", "caption",
+            F.concat(F.lit("m|"), F.col("bh").cast("string")).alias("key"),
+        )
+        .withColumn("bucket", band_state.bucket_col("key"))
+        .persist()  # consumed by touched-buckets, lookup, and the fold
+    )
+    touched_b = sorted(r["bucket"] for r in keyed_b.select("bucket").distinct().collect())
+    if not touched_b:  # every caption NULL: nothing to band
+        keyed_b.unpersist()
+        return assigned, None
+    seen_b = band_state.read_buckets(spark, touched_b)
+    # lookup only for clusters that rooted new this batch; broadcast the
+    # (small, distinct) hit-rep set for the anti join
+    hit_reps = hit.select(F.col("rep_id").alias("cluster_id")).distinct()
+    lookup = keyed_b.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
+    m = lookup.join(seen_b, "key").where(F.col("rep_id") != F.col("cluster_id"))
+    # exact-Jaccard verify, JVM-side set ops over Arrow-computed shingles
+    m = with_shingles(m, "caption", cfg).withColumnRenamed("shingles", "sh_a")
+    m = with_shingles(m, "rep_caption", cfg).withColumnRenamed("shingles", "sh_b")
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    score = F.when(
+        uni > 0, F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / uni
+    ).otherwise(F.lit(0.0))
+    remap = (
+        m.where(score >= cfg.jaccard_threshold)
+        .groupBy("cluster_id")
+        .agg(F.min("rep_id").alias("fuzzy_rep"))
+        .persist()
+    )
+    # force BOTH cached tables now, while the exact-tier state dirs this
+    # plan's lineage reads (via hit -> seen) still exist: the exact commit
+    # that runs between here and the band commit GCs its superseded bucket
+    # dirs, and a lazy re-read of them from inside the band fold would hit
+    # FileNotFound. persist() is MEMORY_AND_DISK, so a pressured executor
+    # spills rather than recomputes through the dead lineage.
+    remap.count()
+    remapped = (
+        assigned.join(F.broadcast(remap), "cluster_id", "left")
+        .withColumn("cluster_id", F.coalesce("fuzzy_rep", "cluster_id"))
+        .drop("fuzzy_rep")
+    )
+
+    def commit(batch_id: int, touched: list[int]) -> None:
+        fold = keyed_b.join(F.broadcast(remap), "cluster_id", "left").select(
+            "key",
+            F.coalesce("fuzzy_rep", "cluster_id").alias("rep_id"),
+            F.col("caption").alias("rep_caption"),
+        )
+        merged = (
+            seen_b.unionByName(fold)
+            .groupBy("key")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set(F.struct("rep_id", "rep_caption"))),
+                    1, BAND_STATE_CAP,
+                ).alias("reps")
+            )
+            .select("key", F.explode("reps").alias("r"))
+            .select("key", "r.rep_id", "r.rep_caption")
+            .withColumn("bucket", band_state.bucket_col("key"))
+        )
+        band_state.commit(merged, touched, batch_id)
+        keyed_b.unpersist()
+        remap.unpersist()
+
+    return remapped, (commit, touched_b)
+
+
+def _assign_batch(
+    batch: DataFrame, batch_id: int, warehouse: str,
+    fuzzy: bool = False, cfg=None,
+) -> None:
     spark = batch.sparkSession
     state = StreamState(os.path.join(warehouse, "stream_state"))
     out_dir = os.path.join(warehouse, "stream_assignments", f"batch_id={batch_id}")
 
     keyed = batch.select(
         "image_id",
+        "caption",
         F.concat(
             F.lit("e|"), F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption"))
         ).alias("k_exact"),
@@ -279,6 +411,11 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         .select("image_id", F.col("h.rep_id").alias("rep_id"))
     )
     assigned = _batch_assignments(keyed, hit)
+    band = None
+    if fuzzy:
+        from .config import DEFAULT
+
+        assigned, band = _fuzzy_tier(spark, assigned, hit, warehouse, cfg or DEFAULT)
     out = assigned.select("image_id", "cluster_id")
     out.write.mode("overwrite").parquet(out_dir)
 
@@ -295,6 +432,14 @@ def _assign_batch(batch: DataFrame, batch_id: int, warehouse: str) -> None:
         .withColumn("bucket", state.bucket_col("key"))
     )
     state.commit(merged, touched, batch_id)
+    if band is not None:
+        # band-state commit LAST: a crash between the two commits replays
+        # the batch, whose exact-tier fold early-returns (already at this
+        # batch_id) while the band fold — recomputed from an `assigned`
+        # that is identical because every row now resolves through the
+        # just-committed exact keys — completes idempotently.
+        band_commit, band_touched = band
+        band_commit(batch_id, band_touched)
 
 
 def compact_fuzzy(
@@ -317,12 +462,75 @@ def compact_fuzzy(
 
     images = spark.read.parquet(input_dir)
     pipe = Pipeline(os.path.join(warehouse, "compact", run_id), cfg=cfg or DEFAULT, run_id=run_id)
-    return pipe.run(spark, images)
+    return _merge_stream_spans(spark, pipe.run(spark, images), warehouse)
+
+
+def _merge_stream_spans(spark: SparkSession, res: DataFrame, warehouse: str) -> DataFrame:
+    """Make refine-never-split STRUCTURAL: any stream cluster whose members
+    land in more than one compacted cluster forces those compacted clusters
+    to merge (into their min id, transitively).
+
+    Every stream merge is a pair the pipeline's own criteria accept (exact /
+    caption / pHash equality are reps-stage kinds; the fuzzy tier verifies
+    at the pipeline's threshold with the pipeline's shingle kernel), so the
+    only way a span can appear is a pair the pipeline PRICED AWAY — an LSH
+    band bucket over bucket_cap under hard_cap. Honoring the stream's
+    already-published assignment there is strictly recall-positive and
+    keeps the contract unconditional rather than
+    modulo-capping. Violations are therefore rare-to-empty: the span table
+    (distinct stream->compact cluster pairs, grouped) is tiny and the
+    transitive closure runs as a driver union-find over only the violating
+    cluster ids."""
+    from .fs import get_fs
+
+    sa_dir = os.path.join(warehouse, "stream_assignments")
+    if not get_fs(sa_dir).exists(sa_dir):
+        return res  # batch-only warehouse: nothing to reconcile
+    s = spark.read.parquet(sa_dir).select("image_id", F.col("cluster_id").alias("s_cid"))
+    spans = (
+        res.join(s, "image_id")
+        .select("s_cid", "cluster_id")
+        .distinct()
+        .groupBy("s_cid")
+        .agg(F.collect_set("cluster_id").alias("cids"))
+        .where(F.size("cids") > 1)
+        .select("cids")
+    )
+    groups = [r["cids"] for r in spans.collect()]
+    if not groups:
+        return res
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for g in groups:
+        root = find(min(g))
+        for c in g:
+            rc = find(c)
+            a, b = sorted((root, rc))
+            parent[b] = a
+            root = a
+    remap = [(c, find(c)) for c in parent]
+    remap_df = spark.createDataFrame(remap, "cluster_id string, merged string")
+    return (
+        res.join(F.broadcast(remap_df), "cluster_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("merged", "cluster_id").alias("cluster_id"),
+        )
+    )
 
 
 def incremental_dedup_stream(
     spark: SparkSession, input_dir: str, warehouse: str, checkpoint: str,
     available_now: bool = True, max_files_per_trigger: int | None = None,
+    fuzzy: bool = False, cfg=None,
 ):
     """Start the incremental dedup stream; returns the StreamingQuery.
 
@@ -330,14 +538,21 @@ def incremental_dedup_stream(
     input_dir and stops — the test/batch-drain mode. max_files_per_trigger
     bounds each micro-batch to that many input files (availableNow honors
     it), which makes multi-batch arrival order reproducible when the input
-    files carry distinct mtimes (oldest first)."""
+    files carry distinct mtimes (oldest first).
+
+    fuzzy=True additionally links new arrivals to previously-seen NEAR
+    duplicate captions in-stream (_fuzzy_tier: MinHash band state +
+    exact-Jaccard verify at the batch pipeline's threshold). Off by
+    default: it merges only pairs compaction would also merge, but earlier
+    — enable it when downstream consumers read stream assignments before
+    the next compaction and want near-dup collapse there too."""
     reader = spark.readStream.schema(IMAGES)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(input_dir)
     writer = (
         stream.writeStream.foreachBatch(
-            lambda b, bid: _assign_batch(b, bid, warehouse)
+            lambda b, bid: _assign_batch(b, bid, warehouse, fuzzy=fuzzy, cfg=cfg)
         )
         .option("checkpointLocation", checkpoint)
     )

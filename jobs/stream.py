@@ -45,6 +45,9 @@ def main() -> None:
                     help="keep running and process arrivals (default: drain and exit)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     help="bound each micro-batch to K input files")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="also link near-duplicate captions in-stream "
+                         "(MinHash band state + exact-Jaccard verify)")
     ap.add_argument("--compact", action="store_true",
                     help="run fuzzy-tier batch compaction after the drain")
     ap.add_argument("--compact-run-id", default="compact0")
@@ -61,6 +64,7 @@ def main() -> None:
             spark, args.landing, args.warehouse, ckpt,
             available_now=not args.follow,
             max_files_per_trigger=args.max_files_per_trigger,
+            fuzzy=args.fuzzy,
         )
         q.awaitTermination()  # --follow: runs until externally stopped
         out = {}

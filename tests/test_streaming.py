@@ -445,3 +445,178 @@ def test_key_format_mismatch_refuses(spark, tmp_path):
             spark.createDataFrame(synth.to_arrow([_row("b0000001", "y", 2, b"\x02")]).to_pandas()),
             1, wh,
         )
+
+
+CAP_A = "a tabby cat sleeping on a warm windowsill in the golden afternoon sun beside a potted fern"
+CAP_B = "a tabby cat sleeping on a warm windowsill in the golden morning sun beside a potted fern"
+CAP_FAR = "a steam locomotive crossing a tall iron bridge above the river gorge at dawn"
+
+
+def test_fuzzy_stream_links_near_dup_captions_across_batches(spark, tmp_path):
+    """fuzzy=True: a later arrival whose caption is a NEAR duplicate (exact
+    shingle Jaccard >= cfg.jaccard_threshold — the batch pipeline's own
+    criterion) of a previously-seen caption joins its cluster; a dissimilar
+    caption still roots itself; and the exact tier keeps working."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [_row("a0000001", CAP_A, 1, b"\x01")]
+    b1 = [
+        _row("b0000001", CAP_B, 2, b"\x02"),    # near-dup caption -> joins a1
+        _row("b0000002", CAP_FAR, 3, b"\x03"),  # dissimilar -> roots itself
+        _row("b0000003", CAP_A, 4, b"\x04"),    # exact caption -> exact tier
+    ]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh, fuzzy=True)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["b0000001"] == got["a0000001"] == "a0000001"  # fuzzy link
+    assert got["b0000002"] == "b0000002"                      # verify gates
+    assert got["b0000003"] == "a0000001"                      # exact tier intact
+    # and the caption key of the fuzzy-merged row folded with the MERGED rep,
+    # so a third batch repeating CAP_B resolves through the exact tier alone
+    _assign_batch(
+        spark.createDataFrame(synth.to_arrow([_row("c0000001", CAP_B, 5, b"\x05")]).to_pandas()),
+        2, wh,  # fuzzy OFF here: the exact tier must already know CAP_B
+    )
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(wh, "stream_assignments")).collect()
+    }
+    assert got["c0000001"] == "a0000001"
+
+
+def test_fuzzy_in_batch_near_dups_do_not_merge(spark, tmp_path):
+    """Two near-dup captions arriving in the SAME micro-batch stay separate
+    (state is read at its pre-batch commit; under-merge is the safe
+    direction, compaction heals) — then a later arrival links to each."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [_row("a0000001", CAP_A, 1, b"\x01"), _row("a0000002", CAP_B, 2, b"\x02")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["a0000001"] != got["a0000002"]
+
+
+def test_fuzzy_replay_idempotent_and_state_intact(spark, tmp_path):
+    """Checkpoint replay with fuzzy=True: same batch_id re-delivered after
+    BOTH commits must leave both state manifests unswung and reproduce
+    byte-identical assignments; a crash replay BETWEEN the two commits
+    (exact folded, band not) must complete the band commit idempotently."""
+    import json
+
+    from dedup.streaming import StreamState, _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [_row("a0000001", CAP_A, 1, b"\x01")]
+    b1 = [_row("b0000001", CAP_B, 2, b"\x02")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
+    batch1 = spark.createDataFrame(synth.to_arrow(b1).to_pandas())
+    _assign_batch(batch1, 1, wh, fuzzy=True)
+    asg_dir = os.path.join(wh, "stream_assignments")
+    got1 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+
+    exact_man = os.path.join(wh, "stream_state", "_state_manifest.json")
+    band_man = os.path.join(wh, "band_state", "_state_manifest.json")
+    with open(exact_man) as f:
+        em1 = json.load(f)
+    with open(band_man) as f:
+        bm1 = json.load(f)
+
+    _assign_batch(batch1, 1, wh, fuzzy=True)  # full replay, same batch_id
+    with open(exact_man) as f:
+        assert json.load(f)["buckets"] == em1["buckets"]
+    with open(band_man) as f:
+        assert json.load(f)["buckets"] == bm1["buckets"]
+    got2 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got2 == got1
+
+    # crash between the two commits: rewind ONLY the band manifest to its
+    # pre-batch-1 state and replay — the exact fold early-returns, the band
+    # fold recomputes from state-resolved assignments and must land the
+    # identical (key, rep_id) rows
+    bm0 = dict(bm1)
+    bm0["batch_id"] = 0
+    # batch-0 band keys all live in batch-0 vdirs; batch-1-only buckets roll back to absent
+    bm0["buckets"] = {
+        b: p for b, p in bm1["buckets"].items() if "v000000000" in p
+    }
+    with open(band_man, "w") as f:
+        json.dump(bm0, f)
+    _assign_batch(batch1, 1, wh, fuzzy=True)
+    with open(band_man) as f:
+        bm2 = json.load(f)
+    assert bm2["batch_id"] == 1
+    state = StreamState(os.path.join(wh, "band_state"),
+                        columns="key string, rep_id string, rep_caption string")
+    reps = {r["rep_id"] for r in state.read_buckets(spark, list(range(64))).collect()}
+    assert reps == {"a0000001"}  # every band row carries the merged rep
+    got3 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got3 == got1
+
+
+def test_fuzzy_band_state_capped(spark, tmp_path, monkeypatch):
+    """A hot band key (many distinct captions colliding in one band bucket)
+    keeps at most BAND_STATE_CAP deterministic (rep_id, rep_caption) rows —
+    bounded state, the stream analog of the batch tier's bucket_cap."""
+    from pyspark.sql import functions as F
+
+    from dedup import streaming as st
+
+    monkeypatch.setattr(st, "BAND_STATE_CAP", 2)
+    wh = str(tmp_path / "wh")
+    # four variants of one base caption, one per batch: mutually near-dup, so
+    # they share band keys; each is a DISTINCT caption, so each adds a
+    # (rep, caption) row to the shared keys
+    variants = [
+        CAP_A,
+        CAP_A.replace("afternoon", "morning"),
+        CAP_A.replace("afternoon", "evening"),
+        CAP_A.replace("afternoon", "midday"),
+    ]
+    for i, cap in enumerate(variants):
+        st._assign_batch(
+            spark.createDataFrame(
+                synth.to_arrow([_row(f"v{i:07d}", cap, i, bytes([i + 1]))]).to_pandas()
+            ),
+            i, wh, fuzzy=True,
+        )
+    state = st.StreamState(os.path.join(wh, "band_state"),
+                           columns="key string, rep_id string, rep_caption string")
+    per_key = (
+        state.read_buckets(spark, list(range(64)))
+        .groupBy("key").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert per_key <= 2
+    # the cap bounds state, not correctness here: all four still one cluster
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(wh, "stream_assignments")).collect()
+    }
+    assert set(got.values()) == {"v0000000"}
+
+
+def test_merge_stream_spans_transitive(spark, tmp_path):
+    """_merge_stream_spans: stream clusters spanning multiple compacted
+    clusters force those compacted clusters to merge — transitively, into
+    the min id — and untouched clusters pass through unchanged."""
+    from dedup.streaming import _merge_stream_spans
+
+    wh = str(tmp_path / "wh")
+    sa = os.path.join(wh, "stream_assignments", "batch_id=0")
+    os.makedirs(sa)
+    # stream said: {i1,i2} together, {i3,i4} together, i5 alone
+    spark.createDataFrame(
+        [("i1", "s1"), ("i2", "s1"), ("i3", "s2"), ("i4", "s2"), ("i5", "s3")],
+        "image_id string, cluster_id string",
+    ).write.mode("overwrite").parquet(sa)
+    # compaction split both pairs: c1/c2 (span s1), c2/c3 (span s2) -> all
+    # three compact clusters chain-merge into c1; c9 is untouched
+    res = spark.createDataFrame(
+        [("i1", "c1"), ("i2", "c2"), ("i3", "c2"), ("i4", "c3"), ("i5", "c9")],
+        "image_id string, cluster_id string",
+    )
+    got = {r["image_id"]: r["cluster_id"] for r in _merge_stream_spans(spark, res, wh).collect()}
+    assert got == {"i1": "c1", "i2": "c1", "i3": "c1", "i4": "c1", "i5": "c9"}
