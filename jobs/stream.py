@@ -53,6 +53,7 @@ def main() -> None:
     ap.add_argument("--compact-run-id", default="compact0")
     args = ap.parse_args()
 
+    from dedup.fs import get_fs
     from dedup.session import get_spark
     from dedup.streaming import compact_fuzzy, incremental_dedup_stream
 
@@ -69,7 +70,7 @@ def main() -> None:
         q.awaitTermination()  # --follow: runs until externally stopped
         out = {}
         asg_dir = os.path.join(args.warehouse, "stream_assignments")
-        if os.path.isdir(asg_dir):
+        if get_fs(asg_dir).exists(asg_dir):  # fs shim: warehouse may be hdfs://-s3a://
             asg = spark.read.parquet(asg_dir)
             out["assignments"] = asg.count()
             out["stream_clusters"] = asg.select("cluster_id").distinct().count()
