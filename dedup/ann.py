@@ -107,8 +107,20 @@ def batch_topk_lsh(
         c.join(F.broadcast(p), "bk")
         .where(F.col(id_col) != F.col(probe_id_col))
         .dropDuplicates([probe_id_col, id_col])
-        .join(embeddings.select(id_col, vec_col), id_col)
-        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
+        # drop the leftover bucket column BEFORE the vector join-backs and
+        # the window exchange — the slim shape ships ids only
+        .select(probe_id_col, id_col)
+        # dropDuplicates on the join-back sides keeps the output one row per
+        # (probe, id) even if an input table carries duplicate-id rows (the
+        # winner is arbitrary among conflicting vectors; ids are expected
+        # unique) — it piggybacks on the join's own hash partitioning
+        .join(embeddings.select(id_col, vec_col).dropDuplicates([id_col]), id_col)
+        .join(
+            F.broadcast(
+                probes.select(probe_id_col, probe_vec_col).dropDuplicates([probe_id_col])
+            ),
+            probe_id_col,
+        )
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -188,7 +200,13 @@ def lsh_near_pairs(
     per distinct candidate pair via select-then-filter."""
     if bits == "auto":
         bits = auto_bits(embeddings.count())
-    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # dropDuplicates: with duplicate-id input rows the two join-backs below
+    # would otherwise multiply each candidate pair per duplicate (the
+    # pre-slim shape's final distinct masked this); one row per id keeps the
+    # output well-defined, riding the join's own hash partitioning
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).dropDuplicates(["id"])
     b = with_lsh_buckets(embeddings, dim, bits, tables, seed, vec_col).select(
         F.col(id_col).alias("id"), F.explode("buckets").alias("bk")
     )

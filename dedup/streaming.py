@@ -174,17 +174,26 @@ class StreamState:
 
 
 def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
-    """cluster_id per batch row: state hit wins (the priority-resolved rep
-    over the row's exact/caption/pHash keys — see _assign_batch), else min
-    image_id within the batch's own caption group (caption equality subsumes
-    the sha+caption key, so byte-identical and caption-identical rows of one
+    """cluster_id per batch row: state hit wins — resolved PER IN-BATCH
+    GROUP, not per row: the highest-priority (then min-rep) hit across a
+    caption group's members binds the whole group. A per-row hit would
+    split a same-batch caption group whenever a state key (in practice the
+    cross-cutting pHash key — exact/caption keys are shared group-wide by
+    construction) matches only a subset of its members, and the split would
+    then CASCADE: the group's c| and e| keys fold with different reps, so
+    every later batch re-splits the same caption group through the exact
+    tier itself (r04 review finding). Group-hit else min image_id within
+    the batch's own caption group (caption equality subsumes the
+    sha+caption key, so byte-identical and caption-identical rows of one
     batch land together),
     else — for NULL-caption rows, where the caption equi-join can never match
-    — min image_id within the batch's byte-exact (k_exact) group, so
-    byte-identical NULL-caption rows still collapse in-batch (r03 advice:
-    they used to self-root separately). The exact fallback sits AFTER the
-    caption root in the coalesce: putting it first would split same-caption
-    different-bytes rows that the caption tier must merge.
+    — the same two steps over the byte-exact (k_exact) group: its members'
+    best state hit, then min image_id (r03 advice: byte-identical
+    NULL-caption rows used to self-root separately). The exact fallbacks sit
+    AFTER the caption steps in the coalesce: ahead of them they would split
+    same-caption different-bytes rows that the caption tier must merge
+    (they can in fact never match a captioned row — a NULL-caption k_exact
+    is 'e|sha', a captioned one 'e|sha|caption' — the order is defensive).
 
     The pHash key deliberately does NOT get an in-batch root: two same-batch
     rows sharing a pHash but nothing else stay separate until a later
@@ -202,20 +211,39 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     leaves the big side's rows in place (micro-batches bound the distinct-
     key tables, so the broadcasts are always small). Plan-pinned windowless
     in tests/test_streaming.py."""
+    hitk = keyed.join(hit, "image_id", "left")
+    # group-level hit: best (prio, then min rep) over each caption group's
+    # members / each NULL-caption exact group's members. groupBy-min
+    # partial-aggregates map-side (no hot-key window), and the
+    # distinct-group tables are micro-batch-bounded, so broadcasts stay
+    # small.
+    gh = F.min(F.struct("prio", "rep_id")).alias("gh")
+    cap_hits = (
+        hitk.where(F.col("k_caption").isNotNull() & F.col("rep_id").isNotNull())
+        .groupBy("k_caption").agg(gh)
+        .select("k_caption", F.col("gh.rep_id").alias("cap_hit"))
+    )
     batch_roots = keyed.groupBy("k_caption").agg(F.min("image_id").alias("batch_root"))
-    # exact_root is only ever REACHED for NULL-caption rows (every captioned
-    # row resolves batch_root from its own caption group first), and a
-    # NULL-caption row's k_exact is 'e|sha' (concat_ws skips the NULL), which
-    # can never equal a captioned row's 'e|sha|caption' — so aggregating over only the
-    # NULL-caption slice is semantically identical and removes a
-    # full-batch aggregate + broadcast from every trigger (review finding).
+    # exact_hit/exact_root are only ever REACHED for NULL-caption rows
+    # (every captioned row resolves cap_hit/batch_root from its own caption
+    # group first), and a NULL-caption row's k_exact is 'e|sha' (concat_ws
+    # skips the NULL), which can never equal a captioned row's
+    # 'e|sha|caption' — so aggregating over only the NULL-caption slice is
+    # semantically identical and removes a full-batch aggregate + broadcast
+    # from every trigger (review finding).
+    exact_hits = (
+        hitk.where(F.col("k_caption").isNull() & F.col("rep_id").isNotNull())
+        .groupBy("k_exact").agg(gh)
+        .select("k_exact", F.col("gh.rep_id").alias("exact_hit"))
+    )
     exact_roots = (
         keyed.where(F.col("k_caption").isNull())
         .groupBy("k_exact")
         .agg(F.min("image_id").alias("exact_root"))
     )
     return (
-        keyed.join(hit, "image_id", "left")
+        keyed.join(F.broadcast(cap_hits), "k_caption", "left")
+        .join(F.broadcast(exact_hits), "k_exact", "left")
         .join(F.broadcast(batch_roots), "k_caption", "left")
         .join(F.broadcast(exact_roots), "k_exact", "left")
         # final image_id fallback is defensive only (k_exact is never NULL,
@@ -223,7 +251,8 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
         .withColumn(
             "cluster_id",
             F.coalesce(
-                F.col("rep_id"), F.col("batch_root"), F.col("exact_root"), F.col("image_id")
+                F.col("cap_hit"), F.col("exact_hit"),
+                F.col("batch_root"), F.col("exact_root"), F.col("image_id"),
             ),
         )
     )
@@ -260,11 +289,12 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
     NOT merge — state is read at its pre-batch commit — mirroring the pHash
     tier's in-batch rule: under-merge is the safe direction.
 
-    Returns (remapped assigned, (commit_fn, touched_buckets)) — the caller
-    commits band state LAST (see _assign_batch) so crash replay stays
-    idempotent."""
+    Returns (remapped assigned, (commit_fn, touched_buckets, persisted
+    handles)) — the caller commits band state LAST (see _assign_batch) so
+    crash replay stays idempotent, and unpersists the handles in a finally
+    so a failed commit can't pin cache across retried micro-batches."""
     from .deploy import ensure_shipped
-    from .lsh import band_keys_expr, with_minhash, with_shingles
+    from .lsh import band_keys_expr, with_minhash
 
     ensure_shipped(spark)  # the minhash/shingle pandas UDFs run on workers
     band_state = StreamState(
@@ -292,6 +322,16 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
         .withColumn("bucket", band_state.bucket_col("key"))
         .persist()  # consumed by touched-buckets, lookup, and the fold
     )
+    try:
+        return _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, keyed_b)
+    except BaseException:
+        keyed_b.unpersist()
+        raise
+
+
+def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, keyed_b):
+    from .lsh import with_shingles
+
     touched_b = sorted(r["bucket"] for r in keyed_b.select("bucket").distinct().collect())
     if not touched_b:  # every caption NULL: nothing to band
         keyed_b.unpersist()
@@ -301,7 +341,16 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
     # (small, distinct) hit-rep set for the anti join
     hit_reps = hit.select(F.col("rep_id").alias("cluster_id")).distinct()
     lookup = keyed_b.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
-    m = lookup.join(seen_b, "key").where(F.col("rep_id") != F.col("cluster_id"))
+    m = (
+        lookup.join(seen_b, "key")
+        .where(F.col("rep_id") != F.col("cluster_id"))
+        # dedup candidate PAIRS before the verify: a true near-dup pair
+        # collides in up to lsh_bands x BAND_STATE_CAP band rows, and each
+        # would otherwise pay the two shingle UDFs + set ops (the same
+        # dedup-before-scoring shape as ann.batch_topk_lsh)
+        .select("cluster_id", "caption", "rep_id", "rep_caption")
+        .distinct()
+    )
     # exact-Jaccard verify, JVM-side set ops over Arrow-computed shingles
     m = with_shingles(m, "caption", cfg).withColumnRenamed("shingles", "sh_a")
     m = with_shingles(m, "rep_caption", cfg).withColumnRenamed("shingles", "sh_b")
@@ -321,7 +370,11 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
     # dirs, and a lazy re-read of them from inside the band fold would hit
     # FileNotFound. persist() is MEMORY_AND_DISK, so a pressured executor
     # spills rather than recomputes through the dead lineage.
-    remap.count()
+    try:
+        remap.count()
+    except BaseException:
+        remap.unpersist()
+        raise
     remapped = (
         assigned.join(F.broadcast(remap), "cluster_id", "left")
         .withColumn("cluster_id", F.coalesce("fuzzy_rep", "cluster_id"))
@@ -348,10 +401,8 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
             .withColumn("bucket", band_state.bucket_col("key"))
         )
         band_state.commit(merged, touched, batch_id)
-        keyed_b.unpersist()
-        remap.unpersist()
 
-    return remapped, (commit, touched_b)
+    return remapped, (commit, touched_b, [keyed_b, remap])
 
 
 def _assign_batch(
@@ -403,12 +454,13 @@ def _assign_batch(
     seen = state.read_buckets(spark, touched)
     # inner join: only rows with at least one state match appear; min-struct
     # picks the rep of the highest-priority (lowest prio) matching key, and
-    # partial-aggregates map-side like any min
+    # partial-aggregates map-side like any min. prio rides along so
+    # _batch_assignments can re-minimize ACROSS a group's members.
     hit = (
         exploded.join(seen, "key")
         .groupBy("image_id")
         .agg(F.min(F.struct("prio", "rep_id")).alias("h"))
-        .select("image_id", F.col("h.rep_id").alias("rep_id"))
+        .select("image_id", F.col("h.prio").alias("prio"), F.col("h.rep_id").alias("rep_id"))
     )
     assigned = _batch_assignments(keyed, hit)
     band = None
@@ -416,6 +468,19 @@ def _assign_batch(
         from .config import DEFAULT
 
         assigned, band = _fuzzy_tier(spark, assigned, hit, warehouse, cfg or DEFAULT)
+    try:
+        _commit_batch(spark, assigned, state, seen, out_dir, touched, batch_id, band)
+    finally:
+        # unpersist unconditionally: a failed commit (e.g. the
+        # checkpoint-reset refusal) would otherwise pin the fuzzy tier's
+        # cached tables for the life of a --follow application, one pair
+        # per retried micro-batch (review finding)
+        if band is not None:
+            for h in band[2]:
+                h.unpersist()
+
+
+def _commit_batch(spark, assigned, state, seen, out_dir, touched, batch_id, band):
     out = assigned.select("image_id", "cluster_id")
     out.write.mode("overwrite").parquet(out_dir)
 
@@ -438,7 +503,7 @@ def _assign_batch(
         # batch_id) while the band fold — recomputed from an `assigned`
         # that is identical because every row now resolves through the
         # just-committed exact keys — completes idempotently.
-        band_commit, band_touched = band
+        band_commit, band_touched, _handles = band
         band_commit(batch_id, band_touched)
 
 
@@ -481,8 +546,6 @@ def _merge_stream_spans(spark: SparkSession, res: DataFrame, warehouse: str) -> 
     (distinct stream->compact cluster pairs, grouped) is tiny and the
     transitive closure runs as a driver union-find over only the violating
     cluster ids."""
-    from .fs import get_fs
-
     sa_dir = os.path.join(warehouse, "stream_assignments")
     if not get_fs(sa_dir).exists(sa_dir):
         return res  # batch-only warehouse: nothing to reconcile

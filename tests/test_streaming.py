@@ -171,15 +171,17 @@ def test_viral_caption_batch_plans_no_window(spark):
         [(f"i{k:05d}", f"e{k}", "same caption for everyone") for k in range(500)],
         "image_id string, k_exact string, k_caption string",
     )
-    hit = spark.createDataFrame([("i00007", "i00001")], "image_id string, rep_id string")
+    hit = spark.createDataFrame(
+        [("i00007", 2, "i00001")], "image_id string, prio int, rep_id string"
+    )
     assigned = _batch_assignments(keyed, hit)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     got = {r["image_id"]: r["cluster_id"] for r in assigned.collect()}
-    assert got["i00007"] == "i00001"  # state hit wins
-    rest = {v for k, v in got.items() if k != "i00007"}
-    assert rest == {"i00000"}  # everyone else rooted at the batch min id
+    # the state hit binds the WHOLE caption group — a per-row hit would
+    # split the group between the hit's rep and the batch-root min id
+    assert set(got.values()) == {"i00001"}
 
 
 def test_single_caption_micro_batch_one_cluster(spark, tmp_path):
@@ -620,3 +622,58 @@ def test_merge_stream_spans_transitive(spark, tmp_path):
     )
     got = {r["image_id"]: r["cluster_id"] for r in _merge_stream_spans(spark, res, wh).collect()}
     assert got == {"i1": "c1", "i2": "c1", "i3": "c1", "i4": "c1", "i5": "c9"}
+
+
+def test_partial_phash_hit_binds_whole_caption_group(spark, tmp_path):
+    """A state key matching only a SUBSET of a same-batch caption group (the
+    cross-cutting pHash key) must pull the WHOLE group into the hit's
+    cluster — a per-row hit would split the group AND fold its c|/e| keys
+    with different reps, cascading the split through the exact tier in
+    every later batch (r04 review finding)."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [_row("a0000001", "old caption", 7, b"\x01")]
+    b1 = [
+        _row("b0000001", "new caption", 7, b"\x02"),   # pHash hit -> a1
+        _row("b0000002", "new caption", 99, b"\x03"),  # no hit, same caption
+    ]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh)
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh)
+    asg_dir = os.path.join(wh, "stream_assignments")
+    got = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got["b0000001"] == got["b0000002"] == "a0000001"
+    # and state folded coherently: a later byte-copy of the NON-hit member
+    # (exact tier, prio 0) and a fresh same-caption row (caption tier) both
+    # resolve to the same cluster
+    b2 = [
+        _row("c0000001", "new caption", 99, b"\x03"),  # byte-copy of b2
+        _row("c0000002", "new caption", 55, b"\x04"),  # caption-only match
+    ]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b2).to_pandas()), 2, wh)
+    got = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got["c0000001"] == got["c0000002"] == "a0000001"
+
+
+def test_partial_phash_hit_binds_null_caption_exact_group(spark, tmp_path):
+    """Same contract for the NULL-caption lattice: byte-identical
+    NULL-caption rows where only one carries a state-matching pHash stay
+    one cluster (the group-level exact_hit), not a split pair."""
+    from pyspark.sql import functions as F
+
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [_row("a0000001", "seed", 7, b"\x01")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh)
+    # two byte-identical NULL-caption rows; one ALSO matches pHash 7 — give
+    # them the same bytes but different phash to make the subset hit real
+    b1 = spark.createDataFrame(
+        synth.to_arrow(
+            [_row("b0000001", None, 7, b"\x09"), _row("b0000002", None, None, b"\x09")]
+        ).to_pandas()
+    ).withColumn("phash", F.when(F.col("image_id") == "b0000001", F.lit(7)).cast("long"))
+    _assign_batch(b1, 1, wh)
+    asg_dir = os.path.join(wh, "stream_assignments")
+    got = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got["b0000001"] == got["b0000002"] == "a0000001"
