@@ -268,50 +268,68 @@ BAND_STATE_CAP = 8
 
 
 def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
-    """Opt-in in-stream MinHash tier: link NEW clusters of this batch to
-    previously-seen near-duplicate captions, at the batch pipeline's OWN
-    acceptance criterion.
+    """Opt-in in-stream NEAR-dup tiers: link NEW clusters of this batch to
+    previously-seen near-duplicate captions (MinHash) AND near-duplicate
+    images (SimHash/pHash), each at the batch pipeline's OWN acceptance
+    criterion.
 
-    A separate bucketed band-state table maps LSH band keys ("m|<bandhash>",
-    same minhash kernel + banding config as dedup/lsh.py) to up to
-    BAND_STATE_CAP (rep_id, rep_caption) rows. For each cluster that rooted
-    NEW this batch (no exact-tier state hit), band collisions against state
-    propose candidate reps, and a candidate merges ONLY if the exact shingle
-    Jaccard between the two captions clears cfg.jaccard_threshold — the same
-    kernel (signatures.batch_shingles) and the same threshold the batch
-    pipeline's verify applies, so every stream fuzzy merge is a pair the
-    compaction pipeline itself would accept (refine-never-split; the only
-    asymmetry is batch-side bucket_cap drops, healed by compact_fuzzy's
-    span fix-up). The whole cluster remaps together — per-row remapping
-    could split a caption group.
+    Caption tier: a bucketed band-state table maps LSH band keys
+    ("m|<bandhash>", same minhash kernel + banding config as dedup/lsh.py)
+    to up to BAND_STATE_CAP (rep_id, rep_caption) rows; band collisions
+    propose candidate reps and a candidate merges ONLY if the exact shingle
+    Jaccard between the two captions clears cfg.jaccard_threshold — the
+    same kernel (signatures.batch_shingles) and threshold the batch
+    pipeline's verify applies.
+
+    Image tier: a second state table maps pHash chunk-PAIR keys
+    ("s|ck|vi|vj", the same lsh._phash_keys_expr fragment as the batch
+    phash_candidates join — pigeonhole recall 1.0 for Hamming <=
+    cfg.hamming_threshold against the KEPT reps) to up to BAND_STATE_CAP
+    (rep_id, rep_phash) rows; collisions verify inline with
+    bit_count(phash ^ rep_phash) <= cfg.hamming_threshold — pure Catalyst,
+    no UDF. NULL-caption rows, invisible to the caption tier, still link
+    through this one.
+
+    Every stream fuzzy merge (either tier) is a pair the compaction
+    pipeline itself would accept (refine-never-split; the only asymmetry
+    is batch-side bucket_cap drops, healed by compact_fuzzy's span
+    fix-up). The whole cluster remaps together — per-row remapping could
+    split a caption group — and a cluster accepted by both tiers takes the
+    min rep (both merges are pipeline-valid; compaction supplies the
+    transitive closure).
 
     In-batch near-dup pairs (both clusters new this batch) deliberately do
-    NOT merge — state is read at its pre-batch commit — mirroring the pHash
-    tier's in-batch rule: under-merge is the safe direction.
+    NOT merge — state is read at its pre-batch commit — mirroring the
+    exact tier's pHash in-batch rule: under-merge is the safe direction.
 
-    Returns (remapped assigned, (commit_fn, touched_buckets, persisted
-    handles)) — the caller commits band state LAST (see _assign_batch) so
-    crash replay stays idempotent, and unpersists the handles in a finally
-    so a failed commit can't pin cache across retried micro-batches."""
+    Returns (remapped assigned, (commit_fn, (touched_band, touched_sim),
+    persisted handles)) — the caller commits fuzzy state LAST (see
+    _assign_batch) so crash replay stays idempotent, and unpersists the
+    handles in a finally so a failed commit can't pin cache across retried
+    micro-batches."""
     from .deploy import ensure_shipped
-    from .lsh import band_keys_expr, with_minhash
+    from .lsh import _phash_keys_expr, band_keys_expr, with_minhash
 
-    ensure_shipped(spark)  # the minhash/shingle pandas UDFs run on workers
+    ensure_shipped(spark)  # the minhash pandas UDF runs on workers
     band_state = StreamState(
         os.path.join(warehouse, "band_state"),
         columns="key string, rep_id string, rep_caption string",
     )
-    # one row per distinct (cluster, caption) of the batch — folded for ALL
-    # clusters (hit or new) so checkpoint replay, where every row resolves
-    # through the just-committed exact keys and nothing is "new", still
-    # folds the identical band rows
-    cands = (
+    sim_state = StreamState(
+        os.path.join(warehouse, "simhash_state"),
+        columns="key string, rep_id string, rep_phash long",
+    )
+    # one row per distinct (cluster, caption) / (cluster, phash) of the
+    # batch — folded for ALL clusters (hit or new) so checkpoint replay,
+    # where every row resolves through the just-committed exact keys and
+    # nothing is "new", still folds the identical state rows
+    cands_c = (
         assigned.where(F.col("caption").isNotNull())
         .select("cluster_id", "caption")
         .distinct()
     )
     keyed_b = (
-        with_minhash(cands, "caption", cfg)
+        with_minhash(cands_c, "caption", cfg)
         .select("cluster_id", "caption", F.explode(F.expr(band_keys_expr(cfg))).alias("bh"))
         # band index is already mixed into the hash (xxhash64(b, slice)),
         # so the flat key needs no band field
@@ -322,87 +340,127 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
         .withColumn("bucket", band_state.bucket_col("key"))
         .persist()  # consumed by touched-buckets, lookup, and the fold
     )
+    keyed_s = (
+        assigned.where(F.col("phash").isNotNull())
+        .select("cluster_id", "phash")
+        .distinct()
+        .select("cluster_id", "phash", F.explode(F.expr(_phash_keys_expr("phash", cfg))).alias("k"))
+        .select(
+            "cluster_id", "phash",
+            F.concat_ws("|", F.lit("s"), F.col("k.ck"), F.col("k.vi"), F.col("k.vj")).alias("key"),
+        )
+        .withColumn("bucket", sim_state.bucket_col("key"))
+        .persist()
+    )
+    handles = [keyed_b, keyed_s]
     try:
-        return _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, keyed_b)
+        return _fuzzy_tier_body(
+            spark, assigned, hit, cfg, band_state, sim_state, keyed_b, keyed_s, handles
+        )
     except BaseException:
-        keyed_b.unpersist()
+        for h in handles:
+            h.unpersist()
         raise
 
 
-def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, keyed_b):
+def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, sim_state, keyed_b, keyed_s, handles):
     from .lsh import with_shingles
 
     touched_b = sorted(r["bucket"] for r in keyed_b.select("bucket").distinct().collect())
-    if not touched_b:  # every caption NULL: nothing to band
-        keyed_b.unpersist()
+    touched_s = sorted(r["bucket"] for r in keyed_s.select("bucket").distinct().collect())
+    if not touched_b and not touched_s:  # every caption AND phash NULL
+        for h in handles:
+            h.unpersist()
         return assigned, None
-    seen_b = band_state.read_buckets(spark, touched_b)
-    # lookup only for clusters that rooted new this batch; broadcast the
-    # (small, distinct) hit-rep set for the anti join
+    # lookups only for clusters that rooted new this batch; broadcast the
+    # (small, distinct) hit-rep set for the anti joins
     hit_reps = hit.select(F.col("rep_id").alias("cluster_id")).distinct()
-    lookup = keyed_b.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
-    m = (
-        lookup.join(seen_b, "key")
-        .where(F.col("rep_id") != F.col("cluster_id"))
-        # dedup candidate PAIRS before the verify: a true near-dup pair
-        # collides in up to lsh_bands x BAND_STATE_CAP band rows, and each
-        # would otherwise pay the two shingle UDFs + set ops (the same
-        # dedup-before-scoring shape as ann.batch_topk_lsh)
-        .select("cluster_id", "caption", "rep_id", "rep_caption")
-        .distinct()
-    )
-    # exact-Jaccard verify, JVM-side set ops over Arrow-computed shingles
-    m = with_shingles(m, "caption", cfg).withColumnRenamed("shingles", "sh_a")
-    m = with_shingles(m, "rep_caption", cfg).withColumnRenamed("shingles", "sh_b")
-    uni = F.size(F.array_union("sh_a", "sh_b"))
-    score = F.when(
-        uni > 0, F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / uni
-    ).otherwise(F.lit(0.0))
+    accepts = []
+    seen_b = band_state.read_buckets(spark, touched_b)
+    if touched_b:
+        m = (
+            keyed_b.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
+            .join(seen_b, "key")
+            .where(F.col("rep_id") != F.col("cluster_id"))
+            # dedup candidate PAIRS before the verify: a true near-dup pair
+            # collides in up to lsh_bands x BAND_STATE_CAP band rows, and
+            # each would otherwise pay the two shingle UDFs + set ops (the
+            # same dedup-before-scoring shape as ann.batch_topk_lsh)
+            .select("cluster_id", "caption", "rep_id", "rep_caption")
+            .distinct()
+        )
+        # exact-Jaccard verify, JVM-side set ops over Arrow-computed shingles
+        m = with_shingles(m, "caption", cfg).withColumnRenamed("shingles", "sh_a")
+        m = with_shingles(m, "rep_caption", cfg).withColumnRenamed("shingles", "sh_b")
+        uni = F.size(F.array_union("sh_a", "sh_b"))
+        score = F.when(
+            uni > 0, F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / uni
+        ).otherwise(F.lit(0.0))
+        accepts.append(m.where(score >= cfg.jaccard_threshold).select("cluster_id", "rep_id"))
+    seen_s = sim_state.read_buckets(spark, touched_s)
+    if touched_s:
+        m_s = (
+            keyed_s.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
+            .join(seen_s, "key")
+            .where(F.col("rep_id") != F.col("cluster_id"))
+            .select("cluster_id", "phash", "rep_id", "rep_phash")
+            .distinct()
+            # inline Hamming verify, whole-stage codegen — same predicate as
+            # the batch phash_candidates join
+            .where(F.expr(f"bit_count(phash ^ rep_phash) <= {cfg.hamming_threshold}"))
+        )
+        accepts.append(m_s.select("cluster_id", "rep_id"))
+    acc = accepts[0]
+    for extra in accepts[1:]:
+        acc = acc.unionByName(extra)
     remap = (
-        m.where(score >= cfg.jaccard_threshold)
-        .groupBy("cluster_id")
+        acc.groupBy("cluster_id")
         .agg(F.min("rep_id").alias("fuzzy_rep"))
         .persist()
     )
-    # force BOTH cached tables now, while the exact-tier state dirs this
+    handles.append(remap)
+    # force the cached tables now, while the exact-tier state dirs this
     # plan's lineage reads (via hit -> seen) still exist: the exact commit
-    # that runs between here and the band commit GCs its superseded bucket
-    # dirs, and a lazy re-read of them from inside the band fold would hit
-    # FileNotFound. persist() is MEMORY_AND_DISK, so a pressured executor
-    # spills rather than recomputes through the dead lineage.
-    try:
-        remap.count()
-    except BaseException:
-        remap.unpersist()
-        raise
+    # that runs between here and the fuzzy commits GCs its superseded
+    # bucket dirs, and a lazy re-read of them from inside the state folds
+    # would hit FileNotFound. persist() is MEMORY_AND_DISK, so a pressured
+    # executor spills rather than recomputes through the dead lineage.
+    # (keyed_b/keyed_s were materialized by the touched-bucket collects.)
+    remap.count()
     remapped = (
         assigned.join(F.broadcast(remap), "cluster_id", "left")
         .withColumn("cluster_id", F.coalesce("fuzzy_rep", "cluster_id"))
         .drop("fuzzy_rep")
     )
 
-    def commit(batch_id: int, touched: list[int]) -> None:
-        fold = keyed_b.join(F.broadcast(remap), "cluster_id", "left").select(
+    def _capped_fold(seen, keyed, payload_col, state):
+        fold = keyed.join(F.broadcast(remap), "cluster_id", "left").select(
             "key",
             F.coalesce("fuzzy_rep", "cluster_id").alias("rep_id"),
-            F.col("caption").alias("rep_caption"),
+            F.col(payload_col).alias(f"rep_{payload_col}"),
         )
-        merged = (
-            seen_b.unionByName(fold)
+        return (
+            seen.unionByName(fold)
             .groupBy("key")
             .agg(
                 F.slice(
-                    F.array_sort(F.collect_set(F.struct("rep_id", "rep_caption"))),
+                    F.array_sort(F.collect_set(F.struct("rep_id", f"rep_{payload_col}"))),
                     1, BAND_STATE_CAP,
                 ).alias("reps")
             )
             .select("key", F.explode("reps").alias("r"))
-            .select("key", "r.rep_id", "r.rep_caption")
-            .withColumn("bucket", band_state.bucket_col("key"))
+            .select("key", "r.rep_id", f"r.rep_{payload_col}")
+            .withColumn("bucket", state.bucket_col("key"))
         )
-        band_state.commit(merged, touched, batch_id)
 
-    return remapped, (commit, touched_b, [keyed_b, remap])
+    def commit(batch_id: int, touched) -> None:
+        tb, ts = touched
+        if tb:
+            band_state.commit(_capped_fold(seen_b, keyed_b, "caption", band_state), tb, batch_id)
+        if ts:
+            sim_state.commit(_capped_fold(seen_s, keyed_s, "phash", sim_state), ts, batch_id)
+
+    return remapped, (commit, (touched_b, touched_s), handles)
 
 
 def _assign_batch(
@@ -416,6 +474,7 @@ def _assign_batch(
     keyed = batch.select(
         "image_id",
         "caption",
+        "phash",  # the fuzzy image tier reads it off `assigned`
         F.concat(
             F.lit("e|"), F.concat_ws("|", F.sha2(F.col("bytes"), 256), F.col("caption"))
         ).alias("k_exact"),
@@ -604,8 +663,9 @@ def incremental_dedup_stream(
     files carry distinct mtimes (oldest first).
 
     fuzzy=True additionally links new arrivals to previously-seen NEAR
-    duplicate captions in-stream (_fuzzy_tier: MinHash band state +
-    exact-Jaccard verify at the batch pipeline's threshold). Off by
+    duplicates in-stream (_fuzzy_tier): captions via MinHash band state +
+    exact-Jaccard verify, and images via pHash chunk-pair state + inline
+    Hamming verify, both at the batch pipeline's own thresholds. Off by
     default: it merges only pairs compaction would also merge, but earlier
     — enable it when downstream consumers read stream assignments before
     the next compaction and want near-dup collapse there too."""

@@ -46,8 +46,9 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     help="bound each micro-batch to K input files")
     ap.add_argument("--fuzzy", action="store_true",
-                    help="also link near-duplicate captions in-stream "
-                         "(MinHash band state + exact-Jaccard verify)")
+                    help="also link near-duplicates in-stream: captions "
+                         "(MinHash band state + exact-Jaccard verify) and "
+                         "images (pHash chunk-pair state + Hamming verify)")
     ap.add_argument("--compact", action="store_true",
                     help="run fuzzy-tier batch compaction after the drain")
     ap.add_argument("--compact-run-id", default="compact0")

@@ -462,11 +462,13 @@ def test_fuzzy_stream_links_near_dup_captions_across_batches(spark, tmp_path):
     from dedup.streaming import _assign_batch
 
     wh = str(tmp_path / "wh")
-    b0 = [_row("a0000001", CAP_A, 1, b"\x01")]
+    # phashes pairwise Hamming > 6 (0xFF-aligned bytes) so the IMAGE fuzzy
+    # tier stays out of this caption-tier test
+    b0 = [_row("a0000001", CAP_A, 0x00, b"\x01")]
     b1 = [
-        _row("b0000001", CAP_B, 2, b"\x02"),    # near-dup caption -> joins a1
-        _row("b0000002", CAP_FAR, 3, b"\x03"),  # dissimilar -> roots itself
-        _row("b0000003", CAP_A, 4, b"\x04"),    # exact caption -> exact tier
+        _row("b0000001", CAP_B, 0xFF, b"\x02"),        # near-dup caption -> joins a1
+        _row("b0000002", CAP_FAR, 0xFF00, b"\x03"),    # dissimilar -> roots itself
+        _row("b0000003", CAP_A, 0xFF0000, b"\x04"),    # exact caption -> exact tier
     ]
     _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
     _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh, fuzzy=True)
@@ -478,7 +480,9 @@ def test_fuzzy_stream_links_near_dup_captions_across_batches(spark, tmp_path):
     # and the caption key of the fuzzy-merged row folded with the MERGED rep,
     # so a third batch repeating CAP_B resolves through the exact tier alone
     _assign_batch(
-        spark.createDataFrame(synth.to_arrow([_row("c0000001", CAP_B, 5, b"\x05")]).to_pandas()),
+        spark.createDataFrame(
+            synth.to_arrow([_row("c0000001", CAP_B, 0xFF000000, b"\x05")]).to_pandas()
+        ),
         2, wh,  # fuzzy OFF here: the exact tier must already know CAP_B
     )
     got = {
@@ -512,8 +516,8 @@ def test_fuzzy_replay_idempotent_and_state_intact(spark, tmp_path):
     from dedup.streaming import StreamState, _assign_batch
 
     wh = str(tmp_path / "wh")
-    b0 = [_row("a0000001", CAP_A, 1, b"\x01")]
-    b1 = [_row("b0000001", CAP_B, 2, b"\x02")]
+    b0 = [_row("a0000001", CAP_A, 0x00, b"\x01")]
+    b1 = [_row("b0000001", CAP_B, 0xFF, b"\x02")]
     _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
     batch1 = spark.createDataFrame(synth.to_arrow(b1).to_pandas())
     _assign_batch(batch1, 1, wh, fuzzy=True)
@@ -677,3 +681,64 @@ def test_partial_phash_hit_binds_null_caption_exact_group(spark, tmp_path):
     asg_dir = os.path.join(wh, "stream_assignments")
     got = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
     assert got["b0000001"] == got["b0000002"] == "a0000001"
+
+
+def test_fuzzy_image_tier_links_near_phash_across_batches(spark, tmp_path):
+    """fuzzy=True image tier: a later arrival whose pHash is within
+    cfg.hamming_threshold (6) of a previously-seen pHash joins its cluster
+    even with an unrelated caption; Hamming > 6 stays apart; NULL-caption
+    rows (invisible to the caption tier) link through this tier too."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    base = 0x0123456789ABCDEF
+    b0 = [
+        _row("a0000001", "red fox on a meadow", base, b"\x01"),
+        _row("a0000002", None, 0x7777000011110000, b"\x02"),
+    ]
+    b1 = [
+        # HD 3 from base, unrelated caption -> joins a1
+        _row("b0000001", "a completely different caption", base ^ 0b111, b"\x03"),
+        # HD 8 from base (and far from everything else) -> roots itself
+        _row("b0000002", "another unrelated caption", base ^ 0xFF00000000, b"\x04"),
+        # NULL caption, HD 2 from a2's pHash -> joins a2 through the image tier
+        _row("b0000003", None, 0x7777000011110011, b"\x05"),
+    ]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh, fuzzy=True)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["b0000001"] == got["a0000001"] == "a0000001"
+    assert got["b0000002"] == "b0000002"
+    assert got["b0000003"] == got["a0000002"] == "a0000002"
+    # simhash state folded with the merged reps: a third arrival at HD 3
+    # from b1's pHash (HD 6 from base) still resolves to a1's cluster
+    b2 = [_row("c0000001", "yet another caption", base ^ 0b111111, b"\x06")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b2).to_pandas()), 2, wh, fuzzy=True)
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(wh, "stream_assignments")).collect()
+    }
+    assert got["c0000001"] == "a0000001"
+
+
+def test_fuzzy_both_tiers_accept_takes_min_rep(spark, tmp_path):
+    """A cluster accepted by BOTH fuzzy tiers (caption near-dup of one seen
+    cluster, pHash near-dup of another) adopts the min rep — one coherent
+    choice, no split; compaction supplies the transitive closure."""
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    b0 = [
+        _row("a0000001", CAP_A, 0x00, b"\x01"),
+        # far caption, far pHash from a1
+        _row("a0000002", CAP_FAR, 0x7FFFFFFFFFFF0000, b"\x02"),
+    ]
+    # near-dup caption of a1 AND pHash at HD 2 of a2: both tiers accept;
+    # min(a0000001, a0000002) = a0000001
+    b1 = [_row("b0000001", CAP_B, 0x7FFFFFFFFFFF0011, b"\x03")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b1).to_pandas()), 1, wh, fuzzy=True)
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert got["b0000001"] == "a0000001"
