@@ -264,6 +264,12 @@ def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
     )
 
 
+def _touched_buckets(df: DataFrame) -> list[int]:
+    """Distinct sorted bucket ids of a keyed table (the set a micro-batch
+    reads and commits; must stay consistent with StreamState.bucket_col)."""
+    return sorted(r["bucket"] for r in df.select("bucket").distinct().collect())
+
+
 # per band key, state keeps at most this many (rep_id, rep_caption) rows —
 # the smallest by (rep_id, rep_caption), deterministically. A hot band
 # bucket (low-entropy captions) would otherwise grow state and candidate
@@ -372,8 +378,17 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
 def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, sim_state, keyed_b, keyed_s, handles):
     from .lsh import with_shingles
 
-    touched_b = sorted(r["bucket"] for r in keyed_b.select("bucket").distinct().collect())
-    touched_s = sorted(r["bucket"] for r in keyed_s.select("bucket").distinct().collect())
+    # ONE unioned job materializes both caches and returns both tiers'
+    # touched-bucket sets (two sequential collects would pay one extra
+    # driver round-trip per trigger)
+    tagged = (
+        keyed_b.select(F.lit(0).alias("tier"), "bucket")
+        .unionByName(keyed_s.select(F.lit(1).alias("tier"), "bucket"))
+        .distinct()
+        .collect()
+    )
+    touched_b = sorted(r["bucket"] for r in tagged if r["tier"] == 0)
+    touched_s = sorted(r["bucket"] for r in tagged if r["tier"] == 1)
     if not touched_b and not touched_s:  # every caption AND phash NULL
         for h in handles:
             h.unpersist()
@@ -521,7 +536,7 @@ def _assign_batch_body(spark, keyed, state, out_dir, batch_id, warehouse, fuzzy,
         .where(F.col("key").isNotNull())
         .withColumn("bucket", state.bucket_col("key"))
     )
-    touched = sorted(r["bucket"] for r in exploded.select("bucket").distinct().collect())
+    touched = _touched_buckets(exploded)
     if not touched:
         # empty micro-batch (e.g. a zero-row input file): nothing to assign,
         # nothing to fold into state. Skipping the commit entirely is safe —
@@ -540,19 +555,31 @@ def _assign_batch_body(spark, keyed, state, out_dir, batch_id, warehouse, fuzzy,
         .agg(F.min(F.struct("prio", "rep_id")).alias("h"))
         .select("image_id", F.col("h.prio").alias("prio"), F.col("h.rep_id").alias("rep_id"))
     )
-    assigned = _batch_assignments(keyed, hit)
+    # persist the slim assignment table too: its lineage (state bucket read
+    # + hit aggregation + four broadcast joins) is consumed by up to 5
+    # actions per fuzzy trigger (fuzzy cache fills, remap force, assignment
+    # write, exact fold) — the same scan-once move as `keyed` above, one
+    # level up. Filled by the first downstream action, before the exact
+    # commit GCs the state dirs the lineage reads.
+    assigned0 = (
+        _batch_assignments(keyed, hit)
+        .select("image_id", "caption", "phash", "k_exact", "k_caption", "k_phash", "cluster_id")
+        .persist()
+    )
+    assigned = assigned0
     band = None
-    if fuzzy:
-        from .config import DEFAULT
-
-        assigned, band = _fuzzy_tier(spark, assigned, hit, warehouse, cfg or DEFAULT)
     try:
+        if fuzzy:
+            from .config import DEFAULT
+
+            assigned, band = _fuzzy_tier(spark, assigned, hit, warehouse, cfg or DEFAULT)
         _commit_batch(spark, assigned, state, seen, out_dir, touched, batch_id, band)
     finally:
         # unpersist unconditionally: a failed commit (e.g. the
-        # checkpoint-reset refusal) would otherwise pin the fuzzy tier's
-        # cached tables for the life of a --follow application, one pair
-        # per retried micro-batch (review finding)
+        # checkpoint-reset refusal) would otherwise pin the cached tables
+        # for the life of a --follow application, one set per retried
+        # micro-batch (review finding)
+        assigned0.unpersist()
         if band is not None:
             for h in band[2]:
                 h.unpersist()

@@ -742,3 +742,56 @@ def test_fuzzy_both_tiers_accept_takes_min_rep(spark, tmp_path):
     asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
     got = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
     assert got["b0000001"] == "a0000001"
+
+
+def test_fuzzy_crash_between_band_and_sim_commits_replays_clean(spark, tmp_path):
+    """The fuzzy path has THREE ordered commits (exact -> band -> sim). A
+    crash after the band commit but before the sim commit replays the batch
+    with exact+band already folded: the replay must complete the sim commit
+    with byte-identical state rows and unchanged assignments — pinning the
+    invariant chain (replayed rows all resolve through exact state, remap
+    comes back empty, folds reproduce the committed rows, earlier commits
+    early-return)."""
+    import json
+    import shutil
+
+    from dedup.streaming import StreamState, _assign_batch
+
+    wh = str(tmp_path / "wh")
+    base = 0x0123456789ABCDEF
+    b0 = [_row("a0000001", CAP_A, base, b"\x01")]
+    # links to a1 through BOTH tiers (near caption, pHash HD 3)
+    b1 = [_row("b0000001", CAP_B, base ^ 0b111, b"\x02")]
+    _assign_batch(spark.createDataFrame(synth.to_arrow(b0).to_pandas()), 0, wh, fuzzy=True)
+    # snapshot the ENTIRE sim-state dir (manifest + v0 bucket dirs) — this
+    # is exactly what a crash before the sim commit's write leaves behind
+    sim_dir = os.path.join(wh, "simhash_state")
+    shutil.copytree(sim_dir, str(tmp_path / "sim_snapshot"))
+    batch1 = spark.createDataFrame(synth.to_arrow(b1).to_pandas())
+    _assign_batch(batch1, 1, wh, fuzzy=True)
+
+    sim = StreamState(sim_dir, columns="key string, rep_id string, rep_phash long")
+    clean_rows = sorted(
+        (r["key"], r["rep_id"], r["rep_phash"])
+        for r in sim.read_buckets(spark, list(range(64))).collect()
+    )
+    asg_dir = os.path.join(wh, "stream_assignments")
+    got1 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got1["b0000001"] == "a0000001"
+
+    # crash simulation: sim state reverts to its post-batch-0 snapshot while
+    # exact + band state remain committed at batch 1
+    shutil.rmtree(sim_dir)
+    shutil.copytree(str(tmp_path / "sim_snapshot"), sim_dir)
+    sim_man = os.path.join(sim_dir, "_state_manifest.json")
+
+    _assign_batch(batch1, 1, wh, fuzzy=True)  # replay completes the sim commit
+    with open(sim_man) as f:
+        assert json.load(f)["batch_id"] == 1
+    replay_rows = sorted(
+        (r["key"], r["rep_id"], r["rep_phash"])
+        for r in sim.read_buckets(spark, list(range(64))).collect()
+    )
+    assert replay_rows == clean_rows
+    got2 = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(asg_dir).collect()}
+    assert got2 == got1
