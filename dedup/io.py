@@ -90,6 +90,7 @@ class Warehouse:
         band_hi: int | None = None,
         extra: dict | None = None,
         observe_cols: dict | None = None,
+        deps: list[str] | None = None,
     ) -> dict:
         """Overwrite stage dir, then atomically commit the manifest.
 
@@ -127,6 +128,14 @@ class Warehouse:
             "wall_ms": wall_ms + exec_ms,  # build (incl. eager actions) + execution
             "exec_ms": exec_ms,
             "committed_at": int(time.time() * 1000),
+            # the stage's actual input stages: invalidate_after walks this
+            # DAG instead of guessing dependents from commit order, which
+            # the concurrent tail makes racy (an independent stage that
+            # happened to commit later would be dropped and recomputed).
+            # None = caller didn't record deps (ad-hoc writers): the field
+            # stays absent and invalidation falls back to the time cut;
+            # [] = a root stage with genuinely no stage inputs.
+            **({"deps": sorted(deps)} if deps is not None else {}),
             **({"observed": observed} if observed else {}),
             **(extra or {}),
         }
@@ -165,15 +174,20 @@ class Warehouse:
         """Drop manifests for `stage` and every stage that may depend on it
         (kill/resume tests, stage rebuilds).
 
-        With no explicit list, the cut is by CURRENT manifest commit time,
-        not journal first-seen order: a stage committed at time T consumed
-        only inputs committed before T, so dropping every currently-complete
-        stage with committed_at >= committed_at(stage) is a conservative
-        superset of its dependents (extra drops are safe recomputes, never a
-        stale reuse). First-seen journal order is NOT safe across runs: the
-        append-only journal spans regroupings, so a band-group name first
-        committed in a later run appears after its own dependents and an
-        order-based cut would leave them marked complete."""
+        With no explicit list, the cut walks the RECORDED dependency DAG
+        (each manifest's "deps" names its actual input stages): drop `stage`
+        plus its transitive dependents, and nothing else. Commit ORDER is not
+        a safe proxy in either direction — the concurrent tail makes the
+        order of independent stages racy (an independent stage that happened
+        to commit later would be dropped and recomputed: wasteful, and flaky
+        for resume tests), and journal first-seen order spans regroupings
+        (a band-group name first committed in a later run appears after its
+        own dependents). For pre-deps warehouses (any manifest missing the
+        field) the cut falls back to CURRENT manifest commit time: a stage
+        committed at time T consumed only inputs committed before T, so
+        dropping every stage with committed_at >= committed_at(stage) is a
+        conservative superset of its dependents (extra drops are safe
+        recomputes, never a stale reuse)."""
         if ordered_stages is not None:
             if stage in ordered_stages:
                 for s in ordered_stages[ordered_stages.index(stage):]:
@@ -181,6 +195,25 @@ class Warehouse:
             return
         target = self.manifest(stage)
         if target is None:
+            return
+        mans = {}
+        for s in self.stage_order():
+            m = self.manifest(s)
+            if m is not None:
+                mans[s] = m
+        if all("deps" in m for m in mans.values()):
+            children: dict[str, set[str]] = {}
+            for s, m in mans.items():
+                for d in m["deps"]:
+                    children.setdefault(d, set()).add(s)
+            drop, frontier = {stage}, [stage]
+            while frontier:
+                for c in children.get(frontier.pop(), ()):
+                    if c not in drop:
+                        drop.add(c)
+                        frontier.append(c)
+            for s in drop:
+                self.fs.delete(self._manifest_path(s))
             return
         cut = target["committed_at"]
         for s in self.stage_order():

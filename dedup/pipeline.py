@@ -264,13 +264,16 @@ class Pipeline:
         return 4
 
     # -- stage runner with resume skip ------------------------------------
-    def _stage(self, spark: SparkSession, name: str, build, **man_kw) -> DataFrame:
+    def _stage(self, spark: SparkSession, name: str, build, deps: tuple = (), **man_kw) -> DataFrame:
         if self.wh.is_complete(name):
             return self.wh.read(spark, name)
         t0 = time.time()
         out = build()
         df, extra = out if isinstance(out, tuple) else (out, None)
-        self.wh.write(df, name, wall_ms=int((time.time() - t0) * 1000), extra=extra, **man_kw)
+        self.wh.write(
+            df, name, wall_ms=int((time.time() - t0) * 1000), extra=extra,
+            deps=list(deps), **man_kw,
+        )
         return self.wh.read(spark, name)
 
     def run(
@@ -406,6 +409,7 @@ class Pipeline:
                     cfg.reps_hot_key_cap,
                     corpus_rows=n_keys_rows,
                 ),
+                deps=("keys",),
             ),
         )
 
@@ -426,6 +430,7 @@ class Pipeline:
                         F.lit("simhash").alias("match_type"),
                         (F.lit(1.0) - F.col("hd") / F.lit(64.0)).cast("double").alias("score"),
                     ),
+                    deps=("keys",),
                 )
             finally:
                 uniq_ph.unpersist()
@@ -441,7 +446,7 @@ class Pipeline:
             uniq = keys.groupBy("caption").agg(F.min("image_id").alias("rep_id")).repartition(dp * 2)
             return lsh.with_shingles(lsh.with_minhash(uniq, "caption", cfg), "caption", cfg)
 
-        sigs = self._stage(spark, "signatures", build_sigs)
+        sigs = self._stage(spark, "signatures", build_sigs, deps=("keys",))
 
         # ---- stage: substring edges — needs only `signatures` -------------
         t_substr = _spawn(
@@ -451,6 +456,7 @@ class Pipeline:
                 lambda: verify.substring_edges(
                     sigs.select("rep_id", "caption"), "rep_id", "caption", cfg
                 ),
+                deps=("signatures",),
             ),
         )
 
@@ -481,7 +487,7 @@ class Pipeline:
 
             group_dfs.append(
                 self._stage(spark, f"scored_minhash_b{lo:02d}_{hi:02d}", build_scored,
-                            band_lo=lo, band_hi=hi)
+                            deps=("signatures",), band_lo=lo, band_hi=hi)
             )
             # fail fast: a tail-stage thread that died seconds into the run
             # must not wait out the whole band pass (hours at scale) before
@@ -503,11 +509,19 @@ class Pipeline:
             scored = scored.unionByName(d)
 
         # ---- stage: verified minhash edges (threshold filter + distinct) --
+        group_names = tuple(
+            f"scored_minhash_b{lo:02d}_{hi:02d}"
+            for lo, hi in (
+                (g, min(g + rows_per_group - 1, cfg.lsh_bands - 1))
+                for g in range(0, cfg.lsh_bands, rows_per_group)
+            )
+        )
         edges_mh = self._stage(
             spark, "edges_minhash",
             lambda: scored.where(F.col("score") >= cfg.jaccard_threshold)
             .distinct()
             .select("id_a", "id_b", F.lit("minhash").alias("match_type"), "score"),
+            deps=group_names,
             band_lo=0, band_hi=cfg.lsh_bands - 1,
         )
 
@@ -539,6 +553,7 @@ class Pipeline:
         # own gate aggregate job (1-2s of serial-chain constant at 1M)
         pairs = self._stage(
             spark, "pairs", build_pairs,
+            deps=("reps", "edges_minhash", "edges_simhash", "edges_substring"),
             observe_cols={
                 "edge_bytes_est": F.coalesce(
                     F.sum(F.length("id_a") + F.length("id_b") + F.lit(48)), F.lit(0)
@@ -561,6 +576,7 @@ class Pipeline:
                 cfg=cfg,
                 pre_gate=gate,
             ),
+            deps=("pairs", "keys"),
         )
 
         # ---- stage: per-cluster metrics ------------------------------------
@@ -625,10 +641,19 @@ class Pipeline:
 
         # metrics and member_scores both consume (assignments, pairs) but not
         # each other — overlap them the same way as the post-keys fan-out
-        t_metrics = _spawn("metrics", lambda: self._stage(spark, "metrics", build_metrics))
+        t_metrics = _spawn(
+            "metrics",
+            lambda: self._stage(
+                spark, "metrics", build_metrics,
+                deps=("assignments", "pairs") + group_names,  # `scored` view
+            ),
+        )
         t_member = _spawn(
             "member_scores",
-            lambda: self._stage(spark, "member_scores", lambda: member_scores(assignments, pairs)),
+            lambda: self._stage(
+                spark, "member_scores", lambda: member_scores(assignments, pairs),
+                deps=("assignments", "pairs"),
+            ),
         )
         for t in (t_metrics, t_member):
             t.join()

@@ -66,10 +66,19 @@ class StreamState:
     hdfs://-s3a:// roots, not just driver-local disk (r03 judge item)."""
 
     def __init__(self, root: str, n_buckets: int = N_BUCKETS,
-                 columns: str = "key string, rep_id string"):
+                 columns: str = "key string, rep_id string",
+                 key_params: str | None = None):
         self.root = root
         self.n_buckets = n_buckets
         self.columns = columns  # state row schema (first column must be `key`)
+        # cfg-derived key construction parameters (fuzzy tiers): the band
+        # keys depend on the minhash/banding config and the sim keys on the
+        # pHash chunking, so state written under one cfg would silently
+        # never equi-join lookups computed under another — the exact failure
+        # mode KEY_FORMAT refuses for code-level key changes. The manifest
+        # records the string and read/commit refuse on mismatch (None =
+        # keys are cfg-independent, e.g. the exact tier).
+        self.key_params = key_params
         self._fs = None
 
     @property
@@ -97,6 +106,14 @@ class StreamState:
                 f"engine writes {KEY_FORMAT}: its keys would never equi-join, "
                 "silently re-rooting every arrival. Start a fresh state "
                 "warehouse (rerun compaction to rebuild assignments)."
+            )
+        if self.key_params is not None and man.get("key_params") != self.key_params:
+            raise RuntimeError(
+                f"state at {self.root} was written with key params "
+                f"{man.get('key_params')!r}, this stream derives {self.key_params!r} "
+                "from its cfg: lookups would silently never match accumulated "
+                "state. Resume with the original cfg, or start a fresh state "
+                "warehouse (compaction rebuilds assignments under the new cfg)."
             )
 
     def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
@@ -155,6 +172,8 @@ class StreamState:
             "overwrite"
         ).partitionBy("bucket").parquet(vdir)
         man = man or {"n_buckets": self.n_buckets, "buckets": {}, "key_format": KEY_FORMAT}
+        if self.key_params is not None:
+            man["key_params"] = self.key_params
         assert man.get("n_buckets", self.n_buckets) == self.n_buckets, (
             "n_buckets changed mid-stream; state is keyed on it"
         )
@@ -326,10 +345,21 @@ def _fuzzy_tier(spark, assigned, hit, warehouse: str, cfg):
     band_state = StreamState(
         os.path.join(warehouse, "band_state"),
         columns="key string, rep_id string, rep_caption string",
+        # every cfg knob the band KEY VALUES derive from (signature kernel +
+        # banding split); acceptance knobs (jaccard_threshold) stay out —
+        # state rows carry the raw rep_caption, so a threshold change
+        # re-verifies correctly against existing state
+        key_params=(
+            f"m|k={cfg.shingle_k}|p={cfg.num_perms}|prime={cfg.minhash_prime}"
+            f"|seed={cfg.minhash_seed}|b={cfg.lsh_bands}|r={cfg.lsh_rows}"
+        ),
     )
     sim_state = StreamState(
         os.path.join(warehouse, "simhash_state"),
         columns="key string, rep_id string, rep_phash long",
+        # chunk-pair keys depend only on the chunking; hamming_threshold is
+        # acceptance-level (state carries raw rep_phash)
+        key_params=f"s|chunks={cfg.phash_chunks}",
     )
     # one row per distinct (cluster, caption) / (cluster, phash) of the
     # batch — folded for ALL clusters (hit or new) so checkpoint replay,
@@ -397,8 +427,13 @@ def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, sim_state, keyed_b, 
     # (small, distinct) hit-rep set for the anti joins
     hit_reps = hit.select(F.col("rep_id").alias("cluster_id")).distinct()
     accepts = []
-    seen_b = band_state.read_buckets(spark, touched_b)
+    # state reads live INSIDE the touched guards: a batch that touches only
+    # one tier (e.g. all captions NULL) must not pay the other tier's
+    # manifest read + empty-DF construction every trigger (review finding);
+    # the commit closure below is guarded on the same touched lists.
+    seen_b = None
     if touched_b:
+        seen_b = band_state.read_buckets(spark, touched_b)
         m = (
             keyed_b.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
             .join(seen_b, "key")
@@ -418,8 +453,9 @@ def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, sim_state, keyed_b, 
             uni > 0, F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / uni
         ).otherwise(F.lit(0.0))
         accepts.append(m.where(score >= cfg.jaccard_threshold).select("cluster_id", "rep_id"))
-    seen_s = sim_state.read_buckets(spark, touched_s)
+    seen_s = None
     if touched_s:
+        seen_s = sim_state.read_buckets(spark, touched_s)
         m_s = (
             keyed_s.join(F.broadcast(hit_reps), "cluster_id", "left_anti")
             .join(seen_s, "key")

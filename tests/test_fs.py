@@ -122,6 +122,34 @@ def test_stream_state_on_hadoop_uri(spark, tmp_path):
     assert got["zlate000001"] == got[rows[0]["image_id"]]
 
 
+def test_invalidate_after_walks_recorded_deps(spark, tmp_path):
+    """With deps recorded in the manifests, the invalidation cut is the real
+    dependency DAG — an INDEPENDENT stage that merely committed later (the
+    concurrent tail makes that order racy) must survive, while transitive
+    dependents drop regardless of their commit time."""
+    import time as _t
+
+    from dedup.io import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), "cfg")
+    one = spark.range(1)
+    # edges_simhash commits BEFORE signatures (the racy overlap order that
+    # made the time-based cut drop signatures spuriously)
+    for s, deps in (
+        ("keys", []),
+        ("edges_simhash", ["keys"]),
+        ("signatures", ["keys"]),
+        ("pairs", ["signatures", "edges_simhash"]),
+    ):
+        wh.write(one, s, deps=deps)
+        _t.sleep(0.002)
+    wh.invalidate_after("edges_simhash")
+    assert not wh.is_complete("edges_simhash")
+    assert not wh.is_complete("pairs")       # transitive dependent
+    assert wh.is_complete("signatures")      # independent, later-committed
+    assert wh.is_complete("keys")            # upstream untouched
+
+
 def test_invalidate_after_cross_run_regroup(spark, tmp_path):
     """The invalidation cut is by CURRENT manifest commit time, not journal
     first-seen order: when a later run commits a band-group name the journal

@@ -449,6 +449,48 @@ def test_key_format_mismatch_refuses(spark, tmp_path):
         )
 
 
+def test_fuzzy_state_cfg_mismatch_refuses(spark, tmp_path):
+    """The fuzzy tiers' state KEYS derive from cfg (minhash/banding for the
+    band state, pHash chunking for the sim state): resuming the stream with
+    a different cfg would silently never match accumulated state — the
+    manifests record the key params and refuse a mismatch loudly, like
+    key_format does for code-level key changes (r04 review finding)."""
+    import pytest as _pytest
+
+    from dedup.config import DedupConfig
+    from dedup.streaming import _assign_batch
+
+    wh = str(tmp_path / "wh")
+    _assign_batch(
+        spark.createDataFrame(synth.to_arrow([_row("a0000001", CAP_A, 1, b"\x01")]).to_pandas()),
+        0, wh, fuzzy=True,
+    )
+    # changed minhash seed -> different band keys; chunking unchanged, but
+    # the band-state read fires first and must refuse
+    with _pytest.raises(RuntimeError, match="key params"):
+        _assign_batch(
+            spark.createDataFrame(synth.to_arrow([_row("b0000001", CAP_B, 2, b"\x02")]).to_pandas()),
+            1, wh, fuzzy=True, cfg=DedupConfig(minhash_seed=999),
+        )
+    # changed pHash chunking -> different sim keys; band params unchanged
+    # relative to DEFAULT, so the refusal comes from the sim-state side
+    with _pytest.raises(RuntimeError, match="key params"):
+        _assign_batch(
+            spark.createDataFrame(synth.to_arrow([_row("b0000002", CAP_B, 3, b"\x03")]).to_pandas()),
+            1, wh, fuzzy=True, cfg=DedupConfig(phash_chunks=4),
+        )
+    # the original cfg still resumes fine
+    _assign_batch(
+        spark.createDataFrame(synth.to_arrow([_row("b0000003", CAP_B, 4, b"\x04")]).to_pandas()),
+        1, wh, fuzzy=True,
+    )
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(wh, "stream_assignments")).collect()
+    }
+    assert got["b0000003"] == "a0000001"  # near-dup caption linked via state
+
+
 CAP_A = "a tabby cat sleeping on a warm windowsill in the golden afternoon sun beside a potted fern"
 CAP_B = "a tabby cat sleeping on a warm windowsill in the golden morning sun beside a potted fern"
 CAP_FAR = "a steam locomotive crossing a tall iron bridge above the river gorge at dawn"
