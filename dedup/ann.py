@@ -131,6 +131,156 @@ def batch_topk_lsh(
     )
 
 
+def auto_nlist(n_rows: int, lo: int = 16, hi: int = 65_536) -> int:
+    """Size the IVF coarse quantizer to the corpus: ``nlist ~ sqrt(n)``
+    minimizes probe cost (centroid scan ``nlist*dim`` + candidate re-rank
+    ``nprobe*(n/nlist)*dim``), the standard IVF sizing. Clamped: a floor so
+    tiny corpora still partition meaningfully, a ceiling so the broadcast
+    centroid table stays small (65,536 x 128-dim float32 = 32 MB)."""
+    import math
+
+    return int(min(hi, max(lo, math.ceil(math.sqrt(max(n_rows, 1))))))
+
+
+def ivf_centroids(
+    embeddings: DataFrame, dim: int, nlist: int, seed: int = 31337,
+    sample_cap: int = 32_768, iters: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train spherical k-means centroids on a BOUNDED, deterministic sample
+    (the standard IVF recipe: FAISS trains its coarse quantizer on a sample,
+    not the corpus — a quantizer only needs the density shape, not every
+    row). Returns L2-normalized (nlist, dim) float32.
+
+    Scale contract: the sample is hash-thinned on the id (content-based, so
+    the SAME rows are chosen at any partitioning/parallelism), capped at
+    ~2*sample_cap rows (<= 32 MB at 128-dim) before the one driver collect;
+    Lloyd iterations are vectorized numpy on that bounded sample. Everything
+    downstream (assignment, search) is distributed."""
+    n = embeddings.count()
+    s = embeddings.select(id_col, vec_col)
+    mod = max(1, n // sample_cap)
+    if mod > 1:
+        s = s.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    rows = sorted(s.collect(), key=lambda r: r[0])  # order-independent
+    X = np.asarray([r[1] for r in rows], dtype=np.float32)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    nlist = min(nlist, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[np.sort(rng.choice(len(X), size=nlist, replace=False))].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=nlist)
+        empty = counts == 0
+        if empty.any():
+            # deterministic reseed: the sample rows worst-served by their
+            # current centroid claim the dead cells
+            worst = np.argsort((X * C[assign]).sum(axis=1), kind="stable")
+            sums[empty] = X[worst[: int(empty.sum())]]
+            counts[empty] = 1
+        C = sums / np.maximum(np.linalg.norm(sums, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def with_ivf_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", nprobe: int = 1,
+) -> DataFrame:
+    """Add `cells: array<int>` — the nprobe nearest coarse centroids by
+    cosine (spherical assignment; ties break to the lowest cell id, so the
+    column is deterministic). Centroids ride the UDF closure (broadcast once
+    per executor via the Arrow worker), the per-row cost is one
+    (nlist x dim) @ (dim,) matvec in numpy."""
+    C = np.ascontiguousarray(centroids, dtype=np.float32)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float32)
+            nx = np.linalg.norm(x)
+            d = C @ (x / nx if nx > 0 else x)
+            if nprobe == 1:
+                out.append([int(np.argmax(d))])
+            else:
+                out.append([int(i) for i in np.argsort(-d, kind="stable")[:nprobe]])
+        return pd.Series(out)
+
+    return df.withColumn("cells", _cells(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame, probes: DataFrame, dim: int, k: int = 10,
+    nlist: int | str = "auto", nprobe: int | str = "auto", seed: int = 31337,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    probe_id_col: str = "probe_id", probe_vec_col: str = "qe",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate batch top-k via an IVF coarse quantizer (the FAISS
+    IVF-Flat shape, re-expressed relationally): every corpus row lands in
+    its ONE nearest cell, each probe fans out to its nprobe nearest cells,
+    candidates are the cell-equi-join of the two (~nprobe*n/nlist rows per
+    probe), and the exact cosine re-ranks within candidates. The
+    recall/latency dial is nprobe (nlist is corpus-sized via auto_nlist).
+    nprobe="auto" scans a fixed ~30% of cells (floor 8) — the fallback for a
+    corpus whose cluster structure is unknown: on near-random data recall is
+    proportional to the scanned fraction no matter the index (measured on
+    the testdata embeddings: recall@1 0.4 at 18% -> 1.0 at 49%), while a
+    genuinely clustered corpus needs far fewer probes for the same recall
+    (>= 0.9 recall@10 at 10% scan on the planted-cluster pytest corpus) —
+    tune nprobe down against a recall sample on real data.
+
+    Complements batch_topk_lsh: hyperplane LSH needs no training and its
+    buckets are data-independent; IVF adapts cells to the actual density
+    (fewer probes for the same recall on clustered corpora — embedding
+    corpora usually are) at the price of a one-off bounded training sample.
+
+    Shape notes (the q33 lesson applied from the start): the cell join ships
+    (id, cell) only; no candidate dedup shuffle is needed at all — the
+    corpus side emits exactly one cell per row and a probe's nprobe cells
+    are distinct, so (probe, id) candidate pairs are unique by construction;
+    vectors join back once per candidate and the cosine — the same
+    cosine_expr the exact twin uses — runs once, inside codegen."""
+    from pyspark.sql import Window
+
+    if nlist == "auto":
+        nlist = auto_nlist(embeddings.count())
+    if nprobe == "auto":
+        import math
+
+        nprobe = min(nlist, max(8, math.ceil(0.3 * nlist)))
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, dim, nlist, seed, id_col=id_col, vec_col=vec_col
+        )
+    c = with_ivf_cells(embeddings, centroids, vec_col, nprobe=1).select(
+        F.col(id_col), F.explode("cells").alias("cell")
+    )
+    p = with_ivf_cells(probes, centroids, probe_vec_col, nprobe=nprobe).select(
+        F.col(probe_id_col), F.explode("cells").alias("cell")
+    )
+    cand = (
+        c.join(F.broadcast(p), "cell")
+        .where(F.col(id_col) != F.col(probe_id_col))
+        .select(probe_id_col, id_col)
+        .join(embeddings.select(id_col, vec_col).dropDuplicates([id_col]), id_col)
+        .join(
+            F.broadcast(
+                probes.select(probe_id_col, probe_vec_col).dropDuplicates([probe_id_col])
+            ),
+            probe_id_col,
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("cosine", cosine_expr(vec_col, probe_vec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(probe_id_col, id_col, "rn", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def auto_bits(
     n_rows: int, target_bucket_rows: int = 128, bits_min: int = 4, bits_max: int = 32,
 ) -> int:

@@ -1576,6 +1576,36 @@ def q49(spark, sf):
     )
 
 
+@q("q50_ann_ivf_topk", None)
+def q50(spark, sf):
+    """IVF-Flat batch ANN top-k (ann.ivf_topk) — the trained-quantizer
+    counterpart of q33's data-independent hyperplane LSH: spherical k-means
+    centroids from a bounded deterministic sample, one cell per corpus row,
+    probes fan out to their nprobe nearest cells, exact cosine re-rank
+    within candidates. nlist self-sizes to ~sqrt(n) (ann.auto_nlist).
+
+    Rows-only check (centroids are not SQL-expressible); machine-checked
+    instead by tools/check_contract.py: (a) exhaustive-probe IVF must equal
+    the exact q43 result bit-for-bit (plumbing exactness) and (b) recall@1
+    >= 0.8 at the registered nprobe="auto" (~30% of cells — the
+    unstructured-data fallback, see ivf_topk's docstring). The testdata
+    embeddings are near-random (same-label mean cosine ~0) — the worst case
+    for ANY bounded-probe ANN at k=10 — so the >= 0.9 recall@10 bar is
+    pinned on a planted-cluster corpus (the embedding-model regime) in
+    tests/test_splits_ann_eval.py::test_ivf_topk_recall_on_clustered_corpus
+    at 10% scan; here recall@1 measures 1.0 (sf0.01) / 0.8 (sf0.1)."""
+    from .ann import ivf_topk
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(e, probes, dim=dim, k=10)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

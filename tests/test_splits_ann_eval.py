@@ -68,6 +68,79 @@ def test_lsh_near_pairs_recall(spark, vec_df):
     assert all(a < 1000 and b >= 1000 for a, b in got & expected)
 
 
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    """Planted-cluster corpus (the embedding-model regime IVF targets):
+    20 well-separated centers, 30 members each with small isotropic noise —
+    a probe's true top-k lives inside its own center's cell."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 32)).astype(np.float32) * 4.0
+    rows = []
+    for ci, c in enumerate(centers):
+        for m in range(30):
+            v = c + 0.3 * rng.standard_normal(32).astype(np.float32)
+            rows.append((ci * 100 + m, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_centroids_deterministic(spark, clustered_df):
+    ensure_shipped(spark)
+    c1 = ann.ivf_centroids(clustered_df, dim=32, nlist=20)
+    c2 = ann.ivf_centroids(clustered_df.repartition(11), dim=32, nlist=20)
+    assert np.array_equal(c1, c2)  # hash-thinned sample + sort: partitioning-proof
+    assert c1.shape == (20, 32)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark, clustered_df):
+    """On clustered data (what embedding models emit), probing 2/20 cells
+    (10% of the corpus) must recover >= 0.9 of the exact top-10 — the
+    density-adaptive win over data-independent hyperplane buckets."""
+    ensure_shipped(spark)
+    probes = clustered_df.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann.batch_topk(clustered_df, probes, k=10).collect()
+    }
+    approx = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann.ivf_topk(clustered_df, probes, dim=32, k=10, nlist=20, nprobe=2).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_ivf_exhaustive_probe_equals_exact(spark, vec_df):
+    """nprobe == nlist scans every cell: the IVF plumbing (cell assignment,
+    join, re-rank) must then reproduce the exact batch top-k bit-for-bit —
+    any scoring or candidate-plumbing bug surfaces as a diff."""
+    ensure_shipped(spark)
+    probes = vec_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    exact = sorted(map(tuple, ann.batch_topk(vec_df, probes, k=5).collect()))
+    exh = sorted(map(tuple, ann.ivf_topk(vec_df, probes, dim=32, k=5, nlist=8, nprobe=8).collect()))
+    assert exh == exact
+
+
+def test_ivf_cells_bounded_and_auto_nlist(spark, clustered_df):
+    """Every corpus row lands in exactly ONE cell, and auto_nlist keeps the
+    expected cell population ~sqrt(n) (the probe-cost minimizer)."""
+    ensure_shipped(spark)
+    cents = ann.ivf_centroids(clustered_df, dim=32, nlist=20)
+    cells = ann.with_ivf_cells(clustered_df, cents, nprobe=1)
+    sizes = (
+        cells.select(F.explode("cells").alias("cell"))
+        .groupBy("cell").count().collect()
+    )
+    assert sum(r["count"] for r in sizes) == 600  # one cell per row
+    # planted 20 centers / 20 cells: k-means recovers balanced cells
+    assert max(r["count"] for r in sizes) <= 3 * (600 // 20)
+    assert ann.auto_nlist(1) == 16 and ann.auto_nlist(10**6) == 1000
+    assert ann.auto_nlist(10**12) == 65_536  # broadcastable ceiling
+
+
 # -------------------------------------------------------------- evaluation
 
 

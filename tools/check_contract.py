@@ -2,7 +2,7 @@
 on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
 column names, and an order-insensitive value hash.
 
-The three rows-only queries (q26/q33/q39 — engine-native kernels with no
+The four rows-only queries (q26/q33/q39/q50 — engine-native kernels with no
 ANSI-SQL twin) additionally carry machine-checkable brute-force gates here
 (set-exactness / subset+recall vs an independent numpy oracle), so the
 contract run itself fails on a regression, not just pytest. Usage:
@@ -123,6 +123,40 @@ def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
               f"recall={recall:.4f} ({len(approx)}/{len(exact)}) [{time.time() - t0:.1f}s]")
         if not ok:
             failures.append("gate_q33")
+
+    # ---- q50: IVF plumbing exactness + bounded-probe recall@1 -------------
+    if "q50_ann_ivf_topk" in qs:
+        t0 = time.time()
+        from dedup.ann import auto_nlist, batch_topk, ivf_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        probes = e.where("vec_id < 5").selectExpr(
+            "vec_id AS probe_id", "embedding AS qe"
+        )
+        dim = len(e.select("embedding").first()[0])
+        nlist = auto_nlist(e.count())
+        exact = sorted(map(tuple, batch_topk(e, probes, k=10).collect()))
+        # nprobe == nlist scans every cell: the IVF candidate plumbing and
+        # re-rank must then reproduce the exact top-k bit-for-bit
+        exh = sorted(map(tuple, ivf_topk(
+            e, probes, dim=dim, k=10, nlist=nlist, nprobe=nlist
+        ).collect()))
+        # the registered bounded-probe config: recall@1 (the true nearest
+        # neighbor concentrates in its cell even on this near-random
+        # testdata; recall@10 >= 0.9 is pinned on a planted-cluster corpus
+        # in tests/test_splits_ann_eval.py, where ANN@k is well-posed)
+        x1 = {(r[0], r[1]) for r in exact if r[2] == 1}
+        g1 = {
+            (r["probe_id"], r["vec_id"])
+            for r in qs["q50_ann_ivf_topk"](spark, sf_dir).collect()
+            if r["rn"] == 1
+        }
+        recall1 = len(g1 & x1) / max(len(x1), 1)
+        ok = exh == exact and recall1 >= 0.8
+        print(f"{'ok  ' if ok else 'FAIL'} gate q50: exhaustive==exact={exh == exact} "
+              f"recall@1={recall1:.4f} [{time.time() - t0:.1f}s]")
+        if not ok:
+            failures.append("gate_q50")
 
     # ---- q26: candidate recall vs exact Jaccard ---------------------------
     if "q26_minhash_candidates" in qs:
