@@ -1576,6 +1576,110 @@ def q49(spark, sf):
     )
 
 
+_Q51_SQL = """
+    WITH b0 AS (
+      SELECT printf('doc%07d', doc_id) AS image_id,
+             array_to_string(list_slice(string_split(lower(text),' '),1,10),' ') AS cap
+      FROM documents WHERE doc_id < 200),
+    b1 AS (
+      SELECT printf('doc%07d', d.doc_id) AS image_id,
+             array_to_string(list_slice(string_split(lower(s.text),' '),1,9),' ') AS cap
+      FROM documents d JOIN documents s ON s.doc_id = d.doc_id - 200
+      WHERE d.doc_id >= 200 AND d.doc_id < 400),
+    rep0 AS (SELECT cap, MIN(image_id) AS rep FROM b0 GROUP BY cap),
+    root1 AS (SELECT cap, MIN(image_id) AS root FROM b1 GROUP BY cap),
+    p0 AS (SELECT cap, unnest(generate_series(1, greatest(length(cap)-4,1))) AS i FROM rep0),
+    s0 AS (SELECT cap, list(DISTINCT substr(cap, CAST(i AS INT), 5)) AS s FROM p0 GROUP BY cap),
+    p1 AS (SELECT cap, unnest(generate_series(1, greatest(length(cap)-4,1))) AS i FROM root1),
+    s1 AS (SELECT cap, list(DISTINCT substr(cap, CAST(i AS INT), 5)) AS s FROM p1 GROUP BY cap),
+    links AS (
+      SELECT s1.cap AS cap1, MIN(r.rep) AS frep
+      FROM s1 JOIN s0 ON CAST(length(list_intersect(s1.s, s0.s)) AS DOUBLE)
+            / (length(s1.s) + length(s0.s) - length(list_intersect(s1.s, s0.s))) >= 0.7
+      JOIN rep0 r ON r.cap = s0.cap
+      GROUP BY s1.cap)
+    SELECT b0.image_id AS image_id, r.rep AS cluster_id FROM b0 JOIN rep0 r USING (cap)
+    UNION ALL
+    SELECT b1.image_id AS image_id, COALESCE(l.frep, rt.root) AS cluster_id
+    FROM b1 JOIN root1 rt USING (cap) LEFT JOIN links l ON l.cap1 = b1.cap
+    """
+
+
+@q("q51_streaming_fuzzy_tier", _Q51_SQL)
+def q51(spark, sf):
+    """In-stream FUZZY caption tier under the driver's oracle (q49 covers
+    the exact tier; this closes the fuzzy one): batch 0 lands 10-word
+    captions (doc_id < 200), batch 1 lands 9-word VARIANTS of its partner's
+    caption (doc d carries words 1-9 of doc d-200's text) — never byte- or
+    caption-equal to batch 0, so only the MinHash band state + exact-Jaccard
+    verify can link them. The real streaming path runs with fuzzy=True.
+
+    The SQL twin models the tier's acceptance criterion exactly: a batch-1
+    caption group adopts MIN(rep) over batch-0 caption reps whose exact
+    5-gram Jaccard >= 0.7 (the same shingle formulation as the hash-green
+    q41 twin), else roots at its own group min. Banding is seeded and
+    deterministic, and every qualifying link on this corpus has J >= 0.795
+    (probed: no link in the banding-marginal [0.70, 0.80) window at sf0.01),
+    where the 32x4 band-split's miss probability is <= (1-0.795^4)^32 ~ 8e-8
+    — the band-collision precondition the twin cannot express never bites.
+    pHash is caption-derived (as in q49), so the sim tier runs but adds no
+    merges: chunk-pair collisions of unrelated 64-bit hashes fail the
+    inline Hamming<=6 verify (HD ~ 32)."""
+    import os as _os
+    import shutil as _shutil
+
+    from .streaming import incremental_dedup_stream
+
+    docs = _t(spark, sf, "documents")
+    cap10 = F.expr("array_join(slice(split(lower(text), ' '), 1, 10), ' ')")
+    b0 = docs.where(F.col("doc_id") < 200).select(
+        F.format_string("doc%07d", F.col("doc_id")).alias("image_id"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+        F.lit(1).alias("w"), F.lit(1).alias("h"), F.lit("raw").alias("fmt"),
+        cap10.alias("caption"),
+        F.xxhash64(cap10).alias("phash"),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("src_id"),
+        F.expr("array_join(slice(split(lower(text), ' '), 1, 9), ' ')").alias("vcap"),
+    )
+    b1 = (
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+        .join(src, F.col("doc_id") - 200 == F.col("src_id"))
+        .select(
+            F.format_string("doc%07d", F.col("doc_id")).alias("image_id"),
+            F.encode(F.col("text"), "UTF-8").alias("bytes"),
+            F.lit(1).alias("w"), F.lit(1).alias("h"), F.lit("raw").alias("fmt"),
+            F.col("vcap").alias("caption"),
+            F.xxhash64(F.col("vcap")).alias("phash"),
+        )
+    )
+    import hashlib as _hashlib
+
+    _tag = _hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:8]
+    root = f"/tmp/q51_stream_{_tag}"
+    _shutil.rmtree(root, ignore_errors=True)
+    landing = _os.path.join(root, "landing")
+    _os.makedirs(landing)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for fname, df, mtime in (("a.parquet", b0, 1_000_000_000),
+                             ("b.parquet", b1, 1_000_000_100)):
+        p = _os.path.join(landing, fname)
+        pq.write_table(pa.Table.from_pandas(df.toPandas(), preserve_index=False), p)
+        _os.utime(p, (mtime, mtime))
+    q_ = incremental_dedup_stream(
+        spark, landing, _os.path.join(root, "wh"), _os.path.join(root, "ckpt"),
+        max_files_per_trigger=1, fuzzy=True,
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(_os.path.join(root, "wh", "stream_assignments"))
+        .select("image_id", "cluster_id")
+    )
+
+
 @q("q50_ann_ivf_topk", None)
 def q50(spark, sf):
     """IVF-Flat batch ANN top-k (ann.ivf_topk) — the trained-quantizer
