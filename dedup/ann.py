@@ -236,12 +236,21 @@ def ivf_topk(
     (fewer probes for the same recall on clustered corpora — embedding
     corpora usually are) at the price of a one-off bounded training sample.
 
-    Shape notes (the q33 lesson applied from the start): the cell join ships
-    (id, cell) only; no candidate dedup shuffle is needed at all — the
-    corpus side emits exactly one cell per row and a probe's nprobe cells
-    are distinct, so (probe, id) candidate pairs are unique by construction;
-    vectors join back once per candidate and the cosine — the same
-    cosine_expr the exact twin uses — runs once, inside codegen."""
+    Shape notes: UNLIKE the exploded LSH paths (where the q33 lesson strips
+    vectors before the bucket shuffle and joins them back post-dedup), the
+    IVF corpus side emits exactly ONE cell per row and the cell join
+    BROADCASTS the probe side — the corpus never crosses an exchange, so
+    carrying its vector through the join is free and the zero-information
+    join-backs (plus their defensive dropDuplicates exchanges: two full
+    corpus/probe shuffles in the first cut, measured in the plan) are
+    dropped entirely. (probe, id) candidates are unique by construction
+    (disjoint cells x distinct probe cells, probes pre-deduped on id), the
+    cosine — the same cosine_expr the exact twin uses — runs once per
+    candidate, and only the slim (probe_id, id, cosine) rows reach the
+    window's exchange. The plan is: scan -> Arrow UDF -> broadcast join ->
+    one small exchange; corpus ids are expected unique (vec_id is the
+    table key) — duplicate ids would emit duplicate candidate rows rather
+    than be resolved here."""
     from pyspark.sql import Window
 
     if nlist == "auto":
@@ -255,27 +264,21 @@ def ivf_topk(
             embeddings, dim, nlist, seed, id_col=id_col, vec_col=vec_col
         )
     c = with_ivf_cells(embeddings, centroids, vec_col, nprobe=1).select(
-        F.col(id_col), F.explode("cells").alias("cell")
+        F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell")
     )
-    p = with_ivf_cells(probes, centroids, probe_vec_col, nprobe=nprobe).select(
-        F.col(probe_id_col), F.explode("cells").alias("cell")
-    )
+    p = with_ivf_cells(
+        probes.dropDuplicates([probe_id_col]), centroids, probe_vec_col, nprobe=nprobe
+    ).select(F.col(probe_id_col), F.col(probe_vec_col), F.explode("cells").alias("cell"))
     cand = (
         c.join(F.broadcast(p), "cell")
         .where(F.col(id_col) != F.col(probe_id_col))
-        .select(probe_id_col, id_col)
-        .join(embeddings.select(id_col, vec_col).dropDuplicates([id_col]), id_col)
-        .join(
-            F.broadcast(
-                probes.select(probe_id_col, probe_vec_col).dropDuplicates([probe_id_col])
-            ),
-            probe_id_col,
+        .select(
+            probe_id_col, id_col, cosine_expr(vec_col, probe_vec_col).alias("cosine")
         )
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        cand.withColumn("cosine", cosine_expr(vec_col, probe_vec_col))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(probe_id_col, id_col, "rn", F.round("cosine", 4).alias("cosine"))
     )
