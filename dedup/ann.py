@@ -143,9 +143,10 @@ def auto_nlist(n_rows: int, lo: int = 16, hi: int = 65_536) -> int:
 
 
 def ivf_centroids(
-    embeddings: DataFrame, dim: int, nlist: int, seed: int = 31337,
+    embeddings: DataFrame, nlist: int, seed: int = 31337,
     sample_cap: int = 32_768, iters: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Train spherical k-means centroids on a BOUNDED, deterministic sample
     (the standard IVF recipe: FAISS trains its coarse quantizer on a sample,
@@ -156,13 +157,21 @@ def ivf_centroids(
     the SAME rows are chosen at any partitioning/parallelism), capped at
     ~2*sample_cap rows (<= 32 MB at 128-dim) before the one driver collect;
     Lloyd iterations are vectorized numpy on that bounded sample. Everything
-    downstream (assignment, search) is distributed."""
-    n = embeddings.count()
+    downstream (assignment, search) is distributed.
+
+    n_rows: pass a known corpus count to skip the sizing count() job
+    (ivf_topk's auto path already counted)."""
+    n = embeddings.count() if n_rows is None else n_rows
     s = embeddings.select(id_col, vec_col)
     mod = max(1, n // sample_cap)
     if mod > 1:
         s = s.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
     rows = sorted(s.collect(), key=lambda r: r[0])  # order-independent
+    if not rows:
+        raise ValueError(
+            "IVF training sample is empty (empty corpus?) — centroids need "
+            "at least one vector; use batch_topk for degenerate inputs"
+        )
     X = np.asarray([r[1] for r in rows], dtype=np.float32)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     nlist = min(nlist, len(X))
@@ -211,7 +220,7 @@ def with_ivf_cells(
 
 
 def ivf_topk(
-    embeddings: DataFrame, probes: DataFrame, dim: int, k: int = 10,
+    embeddings: DataFrame, probes: DataFrame, k: int = 10,
     nlist: int | str = "auto", nprobe: int | str = "auto", seed: int = 31337,
     id_col: str = "vec_id", vec_col: str = "embedding",
     probe_id_col: str = "probe_id", probe_vec_col: str = "qe",
@@ -253,15 +262,17 @@ def ivf_topk(
     than be resolved here."""
     from pyspark.sql import Window
 
+    n = None
     if nlist == "auto":
-        nlist = auto_nlist(embeddings.count())
+        n = embeddings.count()  # counted once; forwarded to training
+        nlist = auto_nlist(n)
     if nprobe == "auto":
         import math
 
         nprobe = min(nlist, max(8, math.ceil(0.3 * nlist)))
     if centroids is None:
         centroids = ivf_centroids(
-            embeddings, dim, nlist, seed, id_col=id_col, vec_col=vec_col
+            embeddings, nlist, seed, id_col=id_col, vec_col=vec_col, n_rows=n
         )
     c = with_ivf_cells(embeddings, centroids, vec_col, nprobe=1).select(
         F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell")

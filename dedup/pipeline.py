@@ -264,7 +264,12 @@ class Pipeline:
         return 4
 
     # -- stage runner with resume skip ------------------------------------
-    def _stage(self, spark: SparkSession, name: str, build, deps: tuple = (), **man_kw) -> DataFrame:
+    def _stage(self, spark: SparkSession, name: str, build, deps: tuple | None = None, **man_kw) -> DataFrame:
+        # deps default None, NOT (): a future stage whose author forgets to
+        # pass deps must degrade to the warehouse's conservative time-cut
+        # invalidation (None = unrecorded), never be recorded as a root
+        # ([]), which the DAG walk would leave marked complete over rebuilt
+        # inputs — stale reuse. Roots say deps=() explicitly.
         if self.wh.is_complete(name):
             return self.wh.read(spark, name)
         t0 = time.time()
@@ -272,7 +277,7 @@ class Pipeline:
         df, extra = out if isinstance(out, tuple) else (out, None)
         self.wh.write(
             df, name, wall_ms=int((time.time() - t0) * 1000), extra=extra,
-            deps=list(deps), **man_kw,
+            deps=None if deps is None else list(deps), **man_kw,
         )
         return self.wh.read(spark, name)
 
@@ -341,7 +346,7 @@ class Pipeline:
                 F.sum((~F.col("decode_ok") | ~F.col("phash_ok")).cast("int")).alias("bad"),
             )
 
-        keys = self._stage(spark, "keys", build_keys)
+        keys = self._stage(spark, "keys", build_keys, deps=())
         if check_fidelity:
             if fid_obs:
                 bad = fid_obs[0].get["bad"] or 0  # came free with the write
@@ -468,10 +473,12 @@ class Pipeline:
         # deterministic hash-sample of rejects for the inter-cluster metric):
         # the raw candidate set never hits a shuffle, a distinct, or disk.
         group_dfs = []
+        group_names: list = []  # collected where the stages commit (single source)
         n_groups = self._resolve_band_groups(self.wh.manifest("signatures")["row_count"])
         rows_per_group = max(1, cfg.lsh_bands // n_groups)
         for g in range(0, cfg.lsh_bands, rows_per_group):
             lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
+            group_names.append(f"scored_minhash_b{lo:02d}_{hi:02d}")
             cached: list[DataFrame] = []
 
             def build_scored(lo=lo, hi=hi, cached=cached):
@@ -486,7 +493,7 @@ class Pipeline:
                 return pairs, {"skew": stats}
 
             group_dfs.append(
-                self._stage(spark, f"scored_minhash_b{lo:02d}_{hi:02d}", build_scored,
+                self._stage(spark, group_names[-1], build_scored,
                             deps=("signatures",), band_lo=lo, band_hi=hi)
             )
             # fail fast: a tail-stage thread that died seconds into the run
@@ -509,13 +516,6 @@ class Pipeline:
             scored = scored.unionByName(d)
 
         # ---- stage: verified minhash edges (threshold filter + distinct) --
-        group_names = tuple(
-            f"scored_minhash_b{lo:02d}_{hi:02d}"
-            for lo, hi in (
-                (g, min(g + rows_per_group - 1, cfg.lsh_bands - 1))
-                for g in range(0, cfg.lsh_bands, rows_per_group)
-            )
-        )
         edges_mh = self._stage(
             spark, "edges_minhash",
             lambda: scored.where(F.col("score") >= cfg.jaccard_threshold)
@@ -645,7 +645,7 @@ class Pipeline:
             "metrics",
             lambda: self._stage(
                 spark, "metrics", build_metrics,
-                deps=("assignments", "pairs") + group_names,  # `scored` view
+                deps=("assignments", "pairs", *group_names),  # `scored` view
             ),
         )
         t_member = _spawn(

@@ -1703,11 +1703,10 @@ def q50(spark, sf):
 
     ensure_shipped(spark)
     e = _t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     probes = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
     )
-    return ivf_topk(e, probes, dim=dim, k=10)
+    return ivf_topk(e, probes, k=10)
 
 
 def queries() -> dict[str, Builder]:

@@ -85,8 +85,8 @@ def clustered_df(spark):
 
 def test_ivf_centroids_deterministic(spark, clustered_df):
     ensure_shipped(spark)
-    c1 = ann.ivf_centroids(clustered_df, dim=32, nlist=20)
-    c2 = ann.ivf_centroids(clustered_df.repartition(11), dim=32, nlist=20)
+    c1 = ann.ivf_centroids(clustered_df, nlist=20)
+    c2 = ann.ivf_centroids(clustered_df.repartition(11), nlist=20)
     assert np.array_equal(c1, c2)  # hash-thinned sample + sort: partitioning-proof
     assert c1.shape == (20, 32)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
@@ -106,7 +106,7 @@ def test_ivf_topk_recall_on_clustered_corpus(spark, clustered_df):
     }
     approx = {
         (r["probe_id"], r["vec_id"])
-        for r in ann.ivf_topk(clustered_df, probes, dim=32, k=10, nlist=20, nprobe=2).collect()
+        for r in ann.ivf_topk(clustered_df, probes, k=10, nlist=20, nprobe=2).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.9
 
@@ -120,7 +120,7 @@ def test_ivf_exhaustive_probe_equals_exact(spark, vec_df):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
     )
     exact = sorted(map(tuple, ann.batch_topk(vec_df, probes, k=5).collect()))
-    exh = sorted(map(tuple, ann.ivf_topk(vec_df, probes, dim=32, k=5, nlist=8, nprobe=8).collect()))
+    exh = sorted(map(tuple, ann.ivf_topk(vec_df, probes, k=5, nlist=8, nprobe=8).collect()))
     assert exh == exact
 
 
@@ -128,7 +128,7 @@ def test_ivf_cells_bounded_and_auto_nlist(spark, clustered_df):
     """Every corpus row lands in exactly ONE cell, and auto_nlist keeps the
     expected cell population ~sqrt(n) (the probe-cost minimizer)."""
     ensure_shipped(spark)
-    cents = ann.ivf_centroids(clustered_df, dim=32, nlist=20)
+    cents = ann.ivf_centroids(clustered_df, nlist=20)
     cells = ann.with_ivf_cells(clustered_df, cents, nprobe=1)
     sizes = (
         cells.select(F.explode("cells").alias("cell"))

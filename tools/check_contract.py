@@ -133,13 +133,12 @@ def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
         probes = e.where("vec_id < 5").selectExpr(
             "vec_id AS probe_id", "embedding AS qe"
         )
-        dim = len(e.select("embedding").first()[0])
         nlist = auto_nlist(e.count())
         exact = sorted(map(tuple, batch_topk(e, probes, k=10).collect()))
         # nprobe == nlist scans every cell: the IVF candidate plumbing and
         # re-rank must then reproduce the exact top-k bit-for-bit
         exh = sorted(map(tuple, ivf_topk(
-            e, probes, dim=dim, k=10, nlist=nlist, nprobe=nlist
+            e, probes, k=10, nlist=nlist, nprobe=nlist
         ).collect()))
         # the registered bounded-probe config: recall@1 (the true nearest
         # neighbor concentrates in its cell even on this near-random
