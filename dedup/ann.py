@@ -193,27 +193,119 @@ def ivf_centroids(
     return C
 
 
+# above this many cells the flat (nlist x dim) assignment matvec dominates
+# per-row cost, and with_ivf_cells switches to the two-level (IMI-style)
+# route: ~2*sqrt(nlist)*dim per row instead of nlist*dim
+TWO_LEVEL_NLIST = 4096
+
+
+def _centroid_groups(C: np.ndarray, seed: int = 31337, iters: int = 8):
+    """Cluster the CENTROIDS into ~sqrt(nlist) groups (driver-side numpy on
+    the tiny centroid table) for two-level assignment. Returns normalized
+    group centroids G and, per group, the member-centroid index arrays."""
+    g = max(1, int(np.ceil(np.sqrt(len(C)))))
+    rng = np.random.default_rng(seed)
+    G = C[np.sort(rng.choice(len(C), size=min(g, len(C)), replace=False))].copy()
+    for _ in range(iters):
+        a = np.argmax(C @ G.T, axis=1)
+        sums = np.zeros_like(G)
+        np.add.at(sums, a, C)
+        counts = np.bincount(a, minlength=len(G))
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort((C * G[a]).sum(axis=1), kind="stable")
+            sums[empty] = C[worst[: int(empty.sum())]]
+        G = sums / np.maximum(np.linalg.norm(sums, axis=1, keepdims=True), 1e-12)
+    a = np.argmax(C @ G.T, axis=1)
+    members = [np.nonzero(a == i)[0].astype(np.int64) for i in range(len(G))]
+    return G, members
+
+
 def with_ivf_cells(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", nprobe: int = 1,
+    two_level: bool | str = "auto",
 ) -> DataFrame:
     """Add `cells: array<int>` — the nprobe nearest coarse centroids by
     cosine (spherical assignment; ties break to the lowest cell id, so the
     column is deterministic). Centroids ride the UDF closure (broadcast once
-    per executor via the Arrow worker), the per-row cost is one
-    (nlist x dim) @ (dim,) matvec in numpy."""
+    per executor via the Arrow worker).
+
+    Per-row cost is one (nlist x dim) matvec — fine up to a few thousand
+    cells, but at the auto_nlist ceiling (65,536 cells for a 10^12 corpus)
+    that is ~8 MFLOP/row. two_level ("auto": on above TWO_LEVEL_NLIST cells)
+    switches to the IMI-style hierarchical route: the centroids are
+    themselves clustered into ~sqrt(nlist) groups on the driver, each row
+    resolves its 2 nearest GROUPS and scans only their member centroids —
+    ~2*sqrt(nlist)*dim per row (~130x cheaper at the ceiling). The
+    assignment may pick a near- instead of exactly-nearest cell on group
+    boundaries; probes route through the same rule, so corpus and probe
+    make consistent choices (recall pinned by the clustered-corpus pytest
+    under forced two_level). Exhaustive probing still covers every cell —
+    the exactness gate is unaffected by which single cell a row lands in."""
     C = np.ascontiguousarray(centroids, dtype=np.float32)
+    use_two = len(C) > TWO_LEVEL_NLIST if two_level == "auto" else bool(two_level)
+    GM = _centroid_groups(C) if use_two else None
+
+    def _assign1(Xn: np.ndarray) -> np.ndarray:
+        """Vectorized nearest-cell per row (the corpus path, nprobe=1):
+        whole-batch BLAS gemms, no per-row Python. Ties -> lowest cell id
+        (argmax takes the first maximum; members arrays are sorted)."""
+        n = len(Xn)
+        if GM is None:
+            # chunk rows so the (rows x nlist) score block stays ~64 MB
+            step = max(1, (64 << 20) // max(4 * len(C), 1))
+            out = np.empty(n, dtype=np.int64)
+            for s in range(0, n, step):
+                out[s:s + step] = np.argmax(Xn[s:s + step] @ C.T, axis=1)
+            return out
+        G, members = GM
+        # stable top-2 groups per row (argsort, not argpartition: boundary
+        # ties must break identically to the per-row route)
+        gtop = np.argsort(-(Xn @ G.T), kind="stable", axis=1)[:, :2]
+        best_d = np.full(n, -np.inf, dtype=np.float32)
+        best_i = np.zeros(n, dtype=np.int64)
+        for g in range(len(G)):
+            rows = np.nonzero((gtop == g).any(axis=1))[0]
+            m = members[g]
+            if not len(rows) or not len(m):
+                continue
+            D = Xn[rows] @ C[m].T
+            loc = np.argmax(D, axis=1)
+            d = D[np.arange(len(rows)), loc]
+            ci = m[loc]
+            take = (d > best_d[rows]) | ((d == best_d[rows]) & (ci < best_i[rows]))
+            upd = rows[take]
+            best_d[upd] = d[take]
+            best_i[upd] = ci[take]
+        return best_i
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float32) for v in vecs.to_numpy()])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if nprobe == 1:
+            return pd.Series([[int(i)] for i in _assign1(Xn)])
+        # nprobe > 1 is the PROBE side (query batches, small next to the
+        # corpus): the per-row loop is fine there, and ragged top-nprobe
+        # over two member groups doesn't vectorize cleanly
         out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float32)
-            nx = np.linalg.norm(x)
-            d = C @ (x / nx if nx > 0 else x)
-            if nprobe == 1:
-                out.append([int(np.argmax(d))])
+        for xn in Xn:
+            if GM is None:
+                cand = None
+                d = C @ xn
             else:
-                out.append([int(i) for i in np.argsort(-d, kind="stable")[:nprobe]])
+                G, members = GM
+                gt = np.argsort(-(G @ xn), kind="stable")[:2]
+                cand = np.concatenate([members[i] for i in gt])
+                cand.sort()  # restore index order -> stable tie-breaks
+                d = C[cand] @ xn
+            idx = np.argsort(-d, kind="stable")[:nprobe]
+            out.append(
+                [int(i) for i in idx] if cand is None
+                else [int(cand[i]) for i in idx]
+            )
         return pd.Series(out)
 
     return df.withColumn("cells", _cells(F.col(vec_col)))
@@ -224,7 +316,7 @@ def ivf_topk(
     nlist: int | str = "auto", nprobe: int | str = "auto", seed: int = 31337,
     id_col: str = "vec_id", vec_col: str = "embedding",
     probe_id_col: str = "probe_id", probe_vec_col: str = "qe",
-    centroids: np.ndarray | None = None,
+    centroids: np.ndarray | None = None, two_level: bool | str = "auto",
 ) -> DataFrame:
     """Approximate batch top-k via an IVF coarse quantizer (the FAISS
     IVF-Flat shape, re-expressed relationally): every corpus row lands in
@@ -274,11 +366,12 @@ def ivf_topk(
         centroids = ivf_centroids(
             embeddings, nlist, seed, id_col=id_col, vec_col=vec_col, n_rows=n
         )
-    c = with_ivf_cells(embeddings, centroids, vec_col, nprobe=1).select(
+    c = with_ivf_cells(embeddings, centroids, vec_col, nprobe=1, two_level=two_level).select(
         F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell")
     )
     p = with_ivf_cells(
-        probes.dropDuplicates([probe_id_col]), centroids, probe_vec_col, nprobe=nprobe
+        probes.dropDuplicates([probe_id_col]), centroids, probe_vec_col,
+        nprobe=nprobe, two_level=two_level,
     ).select(F.col(probe_id_col), F.col(probe_vec_col), F.explode("cells").alias("cell"))
     cand = (
         c.join(F.broadcast(p), "cell")

@@ -109,6 +109,16 @@ def test_ivf_topk_recall_on_clustered_corpus(spark, clustered_df):
         for r in ann.ivf_topk(clustered_df, probes, k=10, nlist=20, nprobe=2).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.9
+    # the hierarchical (IMI-style) assignment — the cost route above
+    # TWO_LEVEL_NLIST cells — must hold the same recall bar when forced at
+    # small nlist: corpus and probes route through the same group rule
+    approx2 = {
+        (r["probe_id"], r["vec_id"])
+        for r in ann.ivf_topk(
+            clustered_df, probes, k=10, nlist=20, nprobe=2, two_level=True
+        ).collect()
+    }
+    assert len(approx2 & exact) / len(exact) >= 0.9
 
 
 def test_ivf_exhaustive_probe_equals_exact(spark, vec_df):
