@@ -142,6 +142,26 @@ def auto_nlist(n_rows: int, lo: int = 16, hi: int = 65_536) -> int:
     return int(min(hi, max(lo, math.ceil(math.sqrt(max(n_rows, 1))))))
 
 
+def _sample_matrix(
+    embeddings: DataFrame, n: int, sample_cap: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Bounded deterministic driver sample as a normalized float32 matrix:
+    hash-thinned on the id (content-based — the SAME rows are chosen at any
+    partitioning/parallelism, ~<= 2*sample_cap rows survive), one collect,
+    sorted by id so the matrix is order-independent."""
+    s = embeddings.select(id_col, vec_col)
+    mod = max(1, n // sample_cap)
+    if mod > 1:
+        s = s.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    rows = sorted(s.collect(), key=lambda r: r[0])
+    if not rows:
+        return np.zeros((0, 1), dtype=np.float32)
+    X = np.asarray([r[1] for r in rows], dtype=np.float32)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X
+
+
 def ivf_centroids(
     embeddings: DataFrame, nlist: int, seed: int = 31337,
     sample_cap: int = 32_768, iters: int = 10,
@@ -162,18 +182,12 @@ def ivf_centroids(
     n_rows: pass a known corpus count to skip the sizing count() job
     (ivf_topk's auto path already counted)."""
     n = embeddings.count() if n_rows is None else n_rows
-    s = embeddings.select(id_col, vec_col)
-    mod = max(1, n // sample_cap)
-    if mod > 1:
-        s = s.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-    rows = sorted(s.collect(), key=lambda r: r[0])  # order-independent
-    if not rows:
+    X = _sample_matrix(embeddings, n, sample_cap, id_col, vec_col)
+    if not len(X):
         raise ValueError(
             "IVF training sample is empty (empty corpus?) — centroids need "
             "at least one vector; use batch_topk for degenerate inputs"
         )
-    X = np.asarray([r[1] for r in rows], dtype=np.float32)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     nlist = min(nlist, len(X))
     rng = np.random.default_rng(seed)
     C = X[np.sort(rng.choice(len(X), size=nlist, replace=False))].copy()
@@ -194,8 +208,9 @@ def ivf_centroids(
 
 
 # above this many cells the flat (nlist x dim) assignment matvec dominates
-# per-row cost, and with_ivf_cells switches to the two-level (IMI-style)
-# route: ~2*sqrt(nlist)*dim per row instead of nlist*dim
+# per-row cost and the two-level (IMI-style) route becomes a CANDIDATE:
+# ivf_topk calibrates its group fan-out on a corpus sample and uses it only
+# where the measured FLOP savings clear the loop overhead (see BENCH.md)
 TWO_LEVEL_NLIST = 4096
 
 
@@ -221,9 +236,69 @@ def _centroid_groups(C: np.ndarray, seed: int = 31337, iters: int = 8):
     return G, members
 
 
+def assign_cells(
+    Xn: np.ndarray, C: np.ndarray, GM=None, fanout: int = 2
+) -> np.ndarray:
+    """Vectorized nearest-cell per normalized row (the corpus path,
+    nprobe=1): whole-batch BLAS gemms, no per-row Python. Ties -> lowest
+    cell id (argmax takes the first maximum; members arrays are sorted).
+    GM = (group_centroids, member_index_arrays) from _centroid_groups
+    switches to the two-level route: scan only the members of each row's
+    `fanout` nearest groups. fanout >= len(G) degenerates to the exact flat
+    assignment (every centroid scanned)."""
+    n = len(Xn)
+    if GM is None:
+        # chunk rows so the (rows x nlist) score block stays ~64 MB
+        step = max(1, (64 << 20) // max(4 * len(C), 1))
+        out = np.empty(n, dtype=np.int64)
+        for s in range(0, n, step):
+            out[s:s + step] = np.argmax(Xn[s:s + step] @ C.T, axis=1)
+        return out
+    G, members = GM
+    # stable top-fanout groups per row (argsort, not argpartition: boundary
+    # ties must break identically to the per-row route)
+    gtop = np.argsort(-(Xn @ G.T), kind="stable", axis=1)[:, :fanout]
+    best_d = np.full(n, -np.inf, dtype=np.float32)
+    best_i = np.zeros(n, dtype=np.int64)
+    for g in range(len(G)):
+        rows = np.nonzero((gtop == g).any(axis=1))[0]
+        m = members[g]
+        if not len(rows) or not len(m):
+            continue
+        D = Xn[rows] @ C[m].T
+        loc = np.argmax(D, axis=1)
+        d = D[np.arange(len(rows)), loc]
+        ci = m[loc]
+        take = (d > best_d[rows]) | ((d == best_d[rows]) & (ci < best_i[rows]))
+        upd = rows[take]
+        best_d[upd] = d[take]
+        best_i[upd] = ci[take]
+    return best_i
+
+
+def calibrate_fanout(
+    Xs: np.ndarray, C: np.ndarray, GM, target: float = 0.95
+) -> int:
+    """Pick the smallest group fan-out whose two-level assignment agrees
+    with the exact flat assignment on >= target of the sample rows. Group
+    pruning quality is data-dependent (high-dim near-equidistant vectors
+    defeat it; clustered embedding-model output doesn't), so the fan-out is
+    MEASURED per corpus, never assumed: doubling from 2 until the agreement
+    bar is met, worst case fanout = len(G) where the route IS the flat
+    assignment (agreement 1.0 by construction)."""
+    flat = assign_cells(Xs, C)
+    g = len(GM[0])
+    fanout = 2
+    while fanout < g:
+        if float(np.mean(flat == assign_cells(Xs, C, GM, fanout))) >= target:
+            return fanout
+        fanout *= 2
+    return g
+
+
 def with_ivf_cells(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", nprobe: int = 1,
-    two_level: bool | str = "auto",
+    two_level: bool | str = "auto", fanout: int = 2,
 ) -> DataFrame:
     """Add `cells: array<int>` — the nprobe nearest coarse centroids by
     cosine (spherical assignment; ties break to the lowest cell id, so the
@@ -232,52 +307,26 @@ def with_ivf_cells(
 
     Per-row cost is one (nlist x dim) matvec — fine up to a few thousand
     cells, but at the auto_nlist ceiling (65,536 cells for a 10^12 corpus)
-    that is ~8 MFLOP/row. two_level ("auto": on above TWO_LEVEL_NLIST cells)
-    switches to the IMI-style hierarchical route: the centroids are
-    themselves clustered into ~sqrt(nlist) groups on the driver, each row
-    resolves its 2 nearest GROUPS and scans only their member centroids —
-    ~2*sqrt(nlist)*dim per row (~130x cheaper at the ceiling). The
-    assignment may pick a near- instead of exactly-nearest cell on group
-    boundaries; probes route through the same rule, so corpus and probe
-    make consistent choices (recall pinned by the clustered-corpus pytest
-    under forced two_level). Exhaustive probing still covers every cell —
-    the exactness gate is unaffected by which single cell a row lands in."""
+    that is ~17 MFLOP/row at dim=128. two_level switches to the IMI-style
+    hierarchical route: the centroids are themselves clustered into
+    ~sqrt(nlist) groups on the driver, each row resolves its `fanout`
+    nearest GROUPS and scans only their member centroids —
+    ~(fanout+1)*sqrt(nlist)*dim FLOPs per row. Two measured caveats govern
+    when that's actually faster (BENCH.md "IVF assignment at the nlist
+    ceiling"): group pruning may pick a near- instead of exactly-nearest
+    cell and HOW OFTEN is data-dependent, so callers must size fanout with
+    calibrate_fanout on a corpus sample (agreement >= 0.95 is the
+    contract); and the per-group gather loop carries ~10-30x constant
+    overhead over the flat route's single BLAS gemm, so pruning only wins
+    at SMALL calibrated fan-outs — ivf_topk does both and falls back to
+    flat otherwise. Corpus and probes must route with the SAME fanout so
+    both sides make consistent choices (recall pinned by the
+    clustered-corpus pytest under forced two_level). Exhaustive probing
+    still covers every cell — the exactness gate is unaffected by which
+    single cell a row lands in."""
     C = np.ascontiguousarray(centroids, dtype=np.float32)
     use_two = len(C) > TWO_LEVEL_NLIST if two_level == "auto" else bool(two_level)
     GM = _centroid_groups(C) if use_two else None
-
-    def _assign1(Xn: np.ndarray) -> np.ndarray:
-        """Vectorized nearest-cell per row (the corpus path, nprobe=1):
-        whole-batch BLAS gemms, no per-row Python. Ties -> lowest cell id
-        (argmax takes the first maximum; members arrays are sorted)."""
-        n = len(Xn)
-        if GM is None:
-            # chunk rows so the (rows x nlist) score block stays ~64 MB
-            step = max(1, (64 << 20) // max(4 * len(C), 1))
-            out = np.empty(n, dtype=np.int64)
-            for s in range(0, n, step):
-                out[s:s + step] = np.argmax(Xn[s:s + step] @ C.T, axis=1)
-            return out
-        G, members = GM
-        # stable top-2 groups per row (argsort, not argpartition: boundary
-        # ties must break identically to the per-row route)
-        gtop = np.argsort(-(Xn @ G.T), kind="stable", axis=1)[:, :2]
-        best_d = np.full(n, -np.inf, dtype=np.float32)
-        best_i = np.zeros(n, dtype=np.int64)
-        for g in range(len(G)):
-            rows = np.nonzero((gtop == g).any(axis=1))[0]
-            m = members[g]
-            if not len(rows) or not len(m):
-                continue
-            D = Xn[rows] @ C[m].T
-            loc = np.argmax(D, axis=1)
-            d = D[np.arange(len(rows)), loc]
-            ci = m[loc]
-            take = (d > best_d[rows]) | ((d == best_d[rows]) & (ci < best_i[rows]))
-            upd = rows[take]
-            best_d[upd] = d[take]
-            best_i[upd] = ci[take]
-        return best_i
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
@@ -286,7 +335,7 @@ def with_ivf_cells(
         X = np.stack([np.asarray(v, dtype=np.float32) for v in vecs.to_numpy()])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         if nprobe == 1:
-            return pd.Series([[int(i)] for i in _assign1(Xn)])
+            return pd.Series([[int(i)] for i in assign_cells(Xn, C, GM, fanout)])
         # nprobe > 1 is the PROBE side (query batches, small next to the
         # corpus): the per-row loop is fine there, and ragged top-nprobe
         # over two member groups doesn't vectorize cleanly
@@ -297,7 +346,7 @@ def with_ivf_cells(
                 d = C @ xn
             else:
                 G, members = GM
-                gt = np.argsort(-(G @ xn), kind="stable")[:2]
+                gt = np.argsort(-(G @ xn), kind="stable")[:fanout]
                 cand = np.concatenate([members[i] for i in gt])
                 cand.sort()  # restore index order -> stable tie-breaks
                 d = C[cand] @ xn
@@ -366,12 +415,34 @@ def ivf_topk(
         centroids = ivf_centroids(
             embeddings, nlist, seed, id_col=id_col, vec_col=vec_col, n_rows=n
         )
-    c = with_ivf_cells(embeddings, centroids, vec_col, nprobe=1, two_level=two_level).select(
-        F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell")
-    )
+    C = np.ascontiguousarray(centroids, dtype=np.float32)
+    use_two = len(C) > TWO_LEVEL_NLIST if two_level == "auto" else bool(two_level)
+    fanout = 2
+    if use_two:
+        # group-pruning quality is data-dependent: MEASURE the fan-out on a
+        # bounded corpus sample (agreement >= 0.95 vs the flat assignment)
+        # instead of assuming top-2 groups suffice. One tiny extra collect,
+        # only on the two-level path (corpora past TWO_LEVEL_NLIST cells).
+        if n is None:
+            n = embeddings.count()
+        Xs = _sample_matrix(embeddings, n, 4096, id_col, vec_col)
+        if len(Xs):
+            GM = _centroid_groups(C)
+            fanout = calibrate_fanout(Xs, C, GM)
+            # measured cost model (BENCH.md "IVF assignment at the nlist
+            # ceiling"): the per-group gather loop carries ~10-30x overhead
+            # vs the flat route's single BLAS gemm, so pruning only pays
+            # when calibration lands a SMALL fan-out. In auto mode fall
+            # back to flat otherwise; an explicit two_level=True is kept
+            # (tests force the route).
+            if two_level == "auto" and fanout > max(2, len(GM[0]) // 32):
+                use_two = False
+    c = with_ivf_cells(
+        embeddings, C, vec_col, nprobe=1, two_level=use_two, fanout=fanout
+    ).select(F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell"))
     p = with_ivf_cells(
-        probes.dropDuplicates([probe_id_col]), centroids, probe_vec_col,
-        nprobe=nprobe, two_level=two_level,
+        probes.dropDuplicates([probe_id_col]), C, probe_vec_col,
+        nprobe=nprobe, two_level=use_two, fanout=fanout,
     ).select(F.col(probe_id_col), F.col(probe_vec_col), F.explode("cells").alias("cell"))
     cand = (
         c.join(F.broadcast(p), "cell")

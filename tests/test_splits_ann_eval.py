@@ -121,6 +121,41 @@ def test_ivf_topk_recall_on_clustered_corpus(spark, clustered_df):
     assert len(approx2 & exact) / len(exact) >= 0.9
 
 
+def test_assign_cells_calibrated_fanout_agrees_with_flat():
+    """Pure-numpy kernel pin for the two-level route. Group pruning quality
+    is data-dependent (near-equidistant random vectors defeat a fixed top-2),
+    so the contract is the CALIBRATED one: calibrate_fanout must return a
+    fan-out whose assignment agrees >= 0.95 with the exact flat route on the
+    same sample — on adversarial random data too, where it may legitimately
+    escalate all the way to fanout=len(groups) (which IS the flat route)."""
+    rng = np.random.default_rng(5)
+    C = rng.normal(size=(512, 32)).astype(np.float32)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    GM = ann._centroid_groups(C)
+    for make in (
+        # clustered (embedding-model regime): points hug true centers
+        lambda: C[rng.integers(0, 512, size=4000)]
+        + 0.15 * rng.normal(size=(4000, 32)).astype(np.float32),
+        # adversarial: unstructured high-dim random
+        lambda: rng.normal(size=(4000, 32)).astype(np.float32),
+    ):
+        X = make().astype(np.float32)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        flat = ann.assign_cells(X, C)
+        fanout = ann.calibrate_fanout(X, C, GM)
+        two = ann.assign_cells(X, C, GM, fanout)
+        agree = float(np.mean(flat == two))
+        assert agree >= 0.95, (fanout, agree)
+        # determinism: same inputs -> identical assignment (stable ties)
+        assert np.array_equal(two, ann.assign_cells(X, C, GM, fanout))
+    # fanout >= group count degenerates to the exact flat assignment
+    X = rng.normal(size=(500, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    assert np.array_equal(
+        ann.assign_cells(X, C), ann.assign_cells(X, C, GM, len(GM[0]))
+    )
+
+
 def test_ivf_exhaustive_probe_equals_exact(spark, vec_df):
     """nprobe == nlist scans every cell: the IVF plumbing (cell assignment,
     join, re-rank) must then reproduce the exact batch top-k bit-for-bit —
