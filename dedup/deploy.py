@@ -49,8 +49,20 @@ def package_zip() -> str:
     return out
 
 
+_GENERATE_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
+    # externally-owned sessions (driver contract, notebooks) don't go
+    # through session.get_spark: apply the explode-double-eval exclusion
+    # (see session.py) at runtime, preserving any rules already excluded
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
+    if _GENERATE_RULE not in excluded:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{excluded},{_GENERATE_RULE}" if excluded else _GENERATE_RULE,
+        )
     key = sc.applicationId
     if key in _SHIPPED:
         return

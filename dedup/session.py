@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into
+        # Filter(size(expensive_expr) > 0) + Generate — the expression (an
+        # Arrow UDF on the LSH/IVF/winnow paths, or the 32-band array expr)
+        # is then evaluated TWICE per row after pushdown through the alias
+        # projection. Semantically redundant for us (Generate already emits
+        # nothing for empty/null arrays); measured plan-level double-eval
+        # on q50/q33/q29 (see PLANS.md r04). ensure_shipped() applies the
+        # same exclusion to externally-owned sessions at runtime.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # 32MB scan partitions: the images table is binary-heavy (KB-scale
         # rows), and UDF decode stages need scan parallelism >> file count
         .config("spark.sql.files.maxPartitionBytes", "33554432")

