@@ -1003,6 +1003,11 @@ def q39(spark, sf):
             [np.uint64(signatures.simhash64(t or "")).astype(np.int64) for t in s]
         )
 
+    # deterministic in fact; the mark is a pushdown barrier — without it the
+    # self-join's key/filter re-inline the UDF to 4 evals over documents
+    # (PLANS.md r04 double-eval audit; 2 = one per self-join side)
+    _sh = _sh.asNondeterministic()
+
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("rep_id"), _sh(F.col("text")).alias("phash")
     )

@@ -149,3 +149,5 @@ def test_explode_udf_paths_are_single_eval(spark):
     c = _arrow_udf_counts(_plan(spark, "q29_winnow_substring_pass"))
     # one per short/long branch (raw is deliberately never materialized)
     assert c["_wf"] <= 2 and c["_minfp"] <= 2, c
+    c = _arrow_udf_counts(_plan(spark, "q39_caption_simhash_pairs"))
+    assert c["_sh"] == 2, c  # one per self-join side, not 4
