@@ -105,5 +105,20 @@ class DedupConfig:
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
+    def legacy_config_hashes(self) -> tuple[str, ...]:
+        """Hashes older engine versions stamped into manifests for THIS
+        config: the pre-exec-exclusion formula hashed the full dict. A
+        warehouse committed under that formula with the same field values
+        (results identical by construction — the hash differs only in
+        formula) must RESUME, not silently rebuild — at 100 TB that
+        migration costs a full recompute (r03 advice). Warehouse.is_complete
+        accepts these alongside config_hash(); writes always stamp the
+        current formula, so acceptance self-retires as stages recommit."""
+        return (
+            hashlib.sha256(
+                json.dumps(asdict(self), sort_keys=True).encode()
+            ).hexdigest()[:16],
+        )
+
 
 DEFAULT = DedupConfig()

@@ -35,9 +35,16 @@ from .fs import get_fs, read_json, write_json_atomic
 
 
 class Warehouse:
-    def __init__(self, root: str, config_hash: str, run_id: str = "run0"):
+    def __init__(
+        self, root: str, config_hash: str, run_id: str = "run0",
+        legacy_hashes: tuple[str, ...] = (),
+    ):
         self.root = root
         self.config_hash = config_hash
+        # accepted-but-not-written hashes (DedupConfig.legacy_config_hashes):
+        # manifests stamped by an older hash FORMULA for the same config
+        # values resume instead of silently rebuilding the warehouse
+        self.legacy_hashes = tuple(legacy_hashes)
         self.run_id = run_id
         self._fs = None
         self._obs_seq = 0
@@ -67,16 +74,34 @@ class Warehouse:
 
     def is_complete(self, stage: str) -> bool:
         m = self.manifest(stage)
-        if m and m.get("config_hash") != self.config_hash and stage not in self._warned_stale:
+        if not m:
+            return False
+        got = m.get("config_hash")
+        if got == self.config_hash:
+            return True
+        if got in self.legacy_hashes:
+            # same config VALUES, older hash formula: results are identical
+            # by construction, so resume (r03 advice — don't turn a formula
+            # migration into a silent 100 TB rebuild). New writes stamp the
+            # current hash, so this acceptance self-retires.
+            if stage not in self._warned_stale:
+                self._warned_stale.add(stage)
+                print(
+                    f"warehouse: stage {stage!r} accepted under legacy "
+                    f"config-hash {got} (current {self.config_hash})",
+                    file=sys.stderr,
+                )
+            return True
+        if stage not in self._warned_stale:
             # surface silent full recomputes (r03 advice): at 100 TB a hash
             # change turns "resume" into "rebuild", which should be loud
             self._warned_stale.add(stage)
             print(
                 f"warehouse: stage {stage!r} manifest carries config_hash "
-                f"{m.get('config_hash')} != current {self.config_hash} — recomputing",
+                f"{got} != current {self.config_hash} — recomputing",
                 file=sys.stderr,
             )
-        return bool(m) and m.get("config_hash") == self.config_hash
+        return False
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._dir(stage))

@@ -252,7 +252,10 @@ class Pipeline:
         granularity where it matters."""
         self.cfg = cfg
         self.band_groups = band_groups
-        self.wh = Warehouse(warehouse_root, cfg.config_hash(), run_id)
+        self.wh = Warehouse(
+            warehouse_root, cfg.config_hash(), run_id,
+            legacy_hashes=cfg.legacy_config_hashes(),
+        )
 
     def _resolve_band_groups(self, n_sigs: int) -> int:
         if self.band_groups != "auto":

@@ -180,3 +180,31 @@ def test_invalidate_after_cross_run_regroup(spark, tmp_path):
     assert not wh.is_complete("scored_minhash_b00_31")
     assert not wh.is_complete("pairs")          # dependent dropped
     assert wh.is_complete("signatures")         # upstream untouched
+
+
+def test_legacy_config_hash_resumes(spark, tmp_path):
+    """A manifest stamped by the pre-exec-exclusion hash FORMULA (same
+    config values) must resume, not rebuild — and a genuinely different
+    hash must still recompute."""
+    from dedup.config import DedupConfig
+    from dedup.io import Warehouse
+
+    cfg = DedupConfig()
+    (legacy,) = cfg.legacy_config_hashes()
+    assert legacy != cfg.config_hash()  # the formulas genuinely differ
+
+    root = str(tmp_path / "wh")
+    old = Warehouse(root, legacy)  # an old engine: stamped the legacy hash
+    old.write(spark.range(1), "keys", deps=[])
+
+    wh = Warehouse(
+        root, cfg.config_hash(), legacy_hashes=cfg.legacy_config_hashes()
+    )
+    assert wh.is_complete("keys")  # accepted under the legacy formula
+
+    stale = Warehouse(root, cfg.config_hash())  # no legacy acceptance
+    assert not stale.is_complete("keys")
+
+    # recommit stamps the current formula: acceptance self-retires
+    wh.write(spark.range(1), "keys", deps=[])
+    assert wh.manifest("keys")["config_hash"] == cfg.config_hash()
