@@ -214,10 +214,22 @@ def ivf_centroids(
 TWO_LEVEL_NLIST = 4096
 
 
+_GROUPS_CACHE: dict[tuple, tuple] = {}
+
+
 def _centroid_groups(C: np.ndarray, seed: int = 31337, iters: int = 8):
     """Cluster the CENTROIDS into ~sqrt(nlist) groups (driver-side numpy on
     the tiny centroid table) for two-level assignment. Returns normalized
-    group centroids G and, per group, the member-centroid index arrays."""
+    group centroids G and, per group, the member-centroid index arrays.
+    Memoized on the centroid bytes: ivf_topk needs the same grouping three
+    times (calibration + each join side) and the Lloyd loop is ~1.5s at the
+    65,536-cell ceiling; the hash is ~ms on the 32 MB table."""
+    import hashlib
+
+    key = (hashlib.sha256(np.ascontiguousarray(C).tobytes()).hexdigest(), seed, iters)
+    hit = _GROUPS_CACHE.get(key)
+    if hit is not None:
+        return hit
     g = max(1, int(np.ceil(np.sqrt(len(C)))))
     rng = np.random.default_rng(seed)
     G = C[np.sort(rng.choice(len(C), size=min(g, len(C)), replace=False))].copy()
@@ -233,6 +245,9 @@ def _centroid_groups(C: np.ndarray, seed: int = 31337, iters: int = 8):
         G = sums / np.maximum(np.linalg.norm(sums, axis=1, keepdims=True), 1e-12)
     a = np.argmax(C @ G.T, axis=1)
     members = [np.nonzero(a == i)[0].astype(np.int64) for i in range(len(G))]
+    if len(_GROUPS_CACHE) >= 8:  # bounded: a handful of live corpora at most
+        _GROUPS_CACHE.clear()
+    _GROUPS_CACHE[key] = (G, members)
     return G, members
 
 
