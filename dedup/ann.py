@@ -188,21 +188,27 @@ def ivf_centroids(
             "IVF training sample is empty (empty corpus?) — centroids need "
             "at least one vector; use batch_topk for degenerate inputs"
         )
-    nlist = min(nlist, len(X))
+    return _spherical_kmeans(X, nlist, seed, iters)
+
+
+def _spherical_kmeans(X: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Vectorized spherical-kmeans Lloyd loop on normalized rows X, shared
+    by ivf_centroids (cells) and _centroid_groups (groups-of-cells — the
+    same algorithm one level up). Deterministic: seeded init, stable
+    worst-served reseed of dead clusters. Returns L2-normalized (k, dim)."""
+    k = min(k, len(X))
     rng = np.random.default_rng(seed)
-    C = X[np.sort(rng.choice(len(X), size=nlist, replace=False))].copy()
+    C = X[np.sort(rng.choice(len(X), size=k, replace=False))].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         sums = np.zeros_like(C)
         np.add.at(sums, assign, X)
-        counts = np.bincount(assign, minlength=nlist)
-        empty = counts == 0
+        empty = np.bincount(assign, minlength=k) == 0
         if empty.any():
             # deterministic reseed: the sample rows worst-served by their
             # current centroid claim the dead cells
             worst = np.argsort((X * C[assign]).sum(axis=1), kind="stable")
             sums[empty] = X[worst[: int(empty.sum())]]
-            counts[empty] = 1
         C = sums / np.maximum(np.linalg.norm(sums, axis=1, keepdims=True), 1e-12)
     return C
 
@@ -231,20 +237,17 @@ def _centroid_groups(C: np.ndarray, seed: int = 31337, iters: int = 8):
     if hit is not None:
         return hit
     g = max(1, int(np.ceil(np.sqrt(len(C)))))
-    rng = np.random.default_rng(seed)
-    G = C[np.sort(rng.choice(len(C), size=min(g, len(C)), replace=False))].copy()
-    for _ in range(iters):
-        a = np.argmax(C @ G.T, axis=1)
-        sums = np.zeros_like(G)
-        np.add.at(sums, a, C)
-        counts = np.bincount(a, minlength=len(G))
-        empty = counts == 0
-        if empty.any():
-            worst = np.argsort((C * G[a]).sum(axis=1), kind="stable")
-            sums[empty] = C[worst[: int(empty.sum())]]
-        G = sums / np.maximum(np.linalg.norm(sums, axis=1, keepdims=True), 1e-12)
+    G = _spherical_kmeans(C, g, seed, iters)
     a = np.argmax(C @ G.T, axis=1)
     members = [np.nonzero(a == i)[0].astype(np.int64) for i in range(len(G))]
+    # the FINAL assignment (after the last G update) can leave a group with
+    # zero member centroids; drop such groups — they can never contribute a
+    # candidate cell, and keeping them would let assign_cells land a row on
+    # cell 0 with best_d = -inf when all its fanout groups were empty
+    keep = [i for i, m in enumerate(members) if len(m)]
+    if len(keep) < len(G):
+        G = G[keep]
+        members = [members[i] for i in keep]
     if len(_GROUPS_CACHE) >= 8:  # bounded: a handful of live corpora at most
         _GROUPS_CACHE.clear()
     _GROUPS_CACHE[key] = (G, members)
@@ -313,7 +316,7 @@ def calibrate_fanout(
 
 def with_ivf_cells(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", nprobe: int = 1,
-    two_level: bool | str = "auto", fanout: int = 2,
+    two_level: bool = False, fanout: int = 2,
 ) -> DataFrame:
     """Add `cells: array<int>` — the nprobe nearest coarse centroids by
     cosine (spherical assignment; ties break to the lowest cell id, so the
@@ -334,14 +337,20 @@ def with_ivf_cells(
     contract); and the per-group gather loop carries ~10-30x constant
     overhead over the flat route's single BLAS gemm, so pruning only wins
     at SMALL calibrated fan-outs — ivf_topk does both and falls back to
-    flat otherwise. Corpus and probes must route with the SAME fanout so
-    both sides make consistent choices (recall pinned by the
-    clustered-corpus pytest under forced two_level). Exhaustive probing
-    still covers every cell — the exactness gate is unaffected by which
-    single cell a row lands in."""
+    flat otherwise. two_level defaults OFF: it is an explicit opt-in for
+    callers that calibrated a fan-out (ivf_topk's corpus side), never a
+    silent approximation of a previously-exact cell column.
+
+    two_level applies ONLY to nprobe=1 — the corpus side, whose n x nlist
+    matvec is the cost worth pruning. The nprobe>1 PROBE side always
+    assigns flat: probes are small by design (they ride a broadcast), and
+    group pruning would cap the reachable cells at ~fanout*sqrt(nlist),
+    silently ignoring any nprobe beyond that — nprobe=nlist must scan
+    EVERY cell so the exhaustive-probe == exact-topk gate
+    (tools/check_contract.py q50; test_ivf_exhaustive_probe_equals_exact)
+    holds by construction."""
     C = np.ascontiguousarray(centroids, dtype=np.float32)
-    use_two = len(C) > TWO_LEVEL_NLIST if two_level == "auto" else bool(two_level)
-    GM = _centroid_groups(C) if use_two else None
+    GM = _centroid_groups(C) if (bool(two_level) and nprobe == 1) else None
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
@@ -352,24 +361,13 @@ def with_ivf_cells(
         if nprobe == 1:
             return pd.Series([[int(i)] for i in assign_cells(Xn, C, GM, fanout)])
         # nprobe > 1 is the PROBE side (query batches, small next to the
-        # corpus): the per-row loop is fine there, and ragged top-nprobe
-        # over two member groups doesn't vectorize cleanly
+        # corpus): the per-row loop is fine there, and every cell stays
+        # reachable (flat scoring — see the two_level docstring paragraph)
         out = []
         for xn in Xn:
-            if GM is None:
-                cand = None
-                d = C @ xn
-            else:
-                G, members = GM
-                gt = np.argsort(-(G @ xn), kind="stable")[:fanout]
-                cand = np.concatenate([members[i] for i in gt])
-                cand.sort()  # restore index order -> stable tie-breaks
-                d = C[cand] @ xn
+            d = C @ xn
             idx = np.argsort(-d, kind="stable")[:nprobe]
-            out.append(
-                [int(i) for i in idx] if cand is None
-                else [int(cand[i]) for i in idx]
-            )
+            out.append([int(i) for i in idx])
         return pd.Series(out)
 
     return df.withColumn("cells", _cells(F.col(vec_col)))

@@ -54,17 +54,22 @@ _GENERATE_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenera
 
 def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        # steady state stays a pure set lookup: ensure_shipped runs at the
+        # top of every query builder, and the conf get/set below is a JVM
+        # gateway round-trip per call otherwise
+        return
     # externally-owned sessions (driver contract, notebooks) don't go
     # through session.get_spark: apply the explode-double-eval exclusion
-    # (see session.py) at runtime, preserving any rules already excluded
+    # (see session.py) at runtime, preserving any rules already excluded.
+    # Memoized per APPLICATION: a later newSession() with its own SQLConf
+    # would be missed, but every entry point here shares one session.
     excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
     if _GENERATE_RULE not in excluded:
         spark.conf.set(
             "spark.sql.optimizer.excludedRules",
             f"{excluded},{_GENERATE_RULE}" if excluded else _GENERATE_RULE,
         )
-    key = sc.applicationId
-    if key in _SHIPPED:
-        return
     sc.addPyFile(package_zip())
     _SHIPPED.add(key)

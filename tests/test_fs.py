@@ -192,6 +192,11 @@ def test_legacy_config_hash_resumes(spark, tmp_path):
     cfg = DedupConfig()
     (legacy,) = cfg.legacy_config_hashes()
     assert legacy != cfg.config_hash()  # the formulas genuinely differ
+    # NOT circular: this constant is the stamp the 466c645-era code actually
+    # wrote for the default config (computed by importing that commit's
+    # config.py) — legacy_config_hashes() must reproduce REAL old stamps,
+    # not merely some second hash of today's dataclass
+    assert legacy == "c5dfe8d55ee6be8a"
 
     root = str(tmp_path / "wh")
     old = Warehouse(root, legacy)  # an old engine: stamped the legacy hash

@@ -126,14 +126,24 @@ def test_error_categorization_is_jvm_only(spark):
 
 
 def _arrow_udf_counts(p: str):
-    """Per-UDF-name count of ArrowEvalPython nodes in a formatted plan."""
+    """Per-UDF-name count of Arrow UDF EVALUATIONS in a formatted plan.
+    Counts every `name(` inside each ArrowEvalPython node's Arguments list,
+    not one per node: Spark batches adjacent Python UDFs into a single node
+    (Arguments: [_f(x#1)#9, _f(y#2)#10]), and a re-inlining regression that
+    lands both evals in one node must still trip the ==1-per-reference
+    pins below."""
     import re
     from collections import Counter
 
-    args = re.findall(
-        r"\(\d+\) ArrowEvalPython\s+Input[^\n]*\nArguments: \[([^\]#]*)", p
+    nodes = re.findall(
+        r"\(\d+\) ArrowEvalPython\s+Input[^\n]*\nArguments: \[([^\]]*)\]", p
     )
-    return Counter(a.split("(")[0] for a in args)
+    c: Counter = Counter()
+    for args in nodes:
+        # UDF invocations sit at the top level of the comma-separated list:
+        # an identifier immediately followed by '(' (column refs are name#id)
+        c.update(re.findall(r"(?:^|[,\s])(\w+)\(", args))
+    return c
 
 
 def test_explode_udf_paths_are_single_eval(spark):

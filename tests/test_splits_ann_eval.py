@@ -167,6 +167,15 @@ def test_ivf_exhaustive_probe_equals_exact(spark, vec_df):
     exact = sorted(map(tuple, ann.batch_topk(vec_df, probes, k=5).collect()))
     exh = sorted(map(tuple, ann.ivf_topk(vec_df, probes, k=5, nlist=8, nprobe=8).collect()))
     assert exh == exact
+    # and under FORCED two-level routing: group pruning applies only to the
+    # corpus side's nprobe=1 assignment — the probe side always assigns
+    # flat, so nprobe=nlist still reaches EVERY cell (the probe-side cap at
+    # ~fanout*sqrt(nlist) reachable cells was a real bug: it silently
+    # ignored nprobe beyond the fanout groups)
+    exh2 = sorted(map(tuple, ann.ivf_topk(
+        vec_df, probes, k=5, nlist=8, nprobe=8, two_level=True
+    ).collect()))
+    assert exh2 == exact
 
 
 def test_ivf_cells_bounded_and_auto_nlist(spark, clustered_df):
