@@ -1685,6 +1685,111 @@ def q51(spark, sf):
     )
 
 
+_Q52_SQL = """
+    WITH b0 AS (
+      SELECT printf('doc%07d', doc_id) AS image_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS phash
+      FROM documents WHERE doc_id < 200),
+    b1 AS (
+      SELECT printf('doc%07d', doc_id) AS image_id,
+             xor(
+               CAST(concat('0x', substr(md5(CAST(doc_id - 200 AS VARCHAR)), 1, 15)) AS BIGINT),
+               (1::BIGINT << CAST(doc_id % 59 AS INT))
+               | (1::BIGINT << CAST((doc_id * 7 + 1) % 59 AS INT))
+               | (1::BIGINT << CAST((doc_id * 13 + 2) % 59 AS INT))
+             ) AS phash
+      FROM documents WHERE doc_id >= 200 AND doc_id < 400),
+    links AS (
+      SELECT b1.image_id, MIN(b0.image_id) AS frep
+      FROM b1 JOIN b0 ON bit_count(xor(b1.phash, b0.phash)) <= 6
+      GROUP BY b1.image_id)
+    SELECT image_id, image_id AS cluster_id FROM b0
+    UNION ALL
+    SELECT b1.image_id, COALESCE(l.frep, b1.image_id) AS cluster_id
+    FROM b1 LEFT JOIN links l USING (image_id)
+    """
+
+
+@q("q52_streaming_image_fuzzy_tier", _Q52_SQL)
+def q52(spark, sf):
+    """In-stream IMAGE fuzzy tier under the driver's oracle (q51 covers the
+    caption MinHash tier; this closes the pHash one): batch 0 lands rows
+    whose 60-bit pHash is md5-derived pseudo-random (pairwise Hamming ~30),
+    batch 1 lands rows whose pHash is its partner's (doc_id - 200) with 1-3
+    deterministic bit flips — Hamming 1 or 3 <= cfg.hamming_threshold = 6.
+    Bytes and captions are unique per row (md5 of the row id), so neither
+    the exact tier nor the caption MinHash tier can link anything: only the
+    pHash chunk-pair state + inline bit_count verify
+    (streaming._fuzzy_tier_body) produces the merges. The real streaming
+    path runs with fuzzy=True.
+
+    The SQL twin models the tier's acceptance criterion exactly — a batch-1
+    row adopts MIN(rep) over batch-0 rows with bit_count(phash XOR
+    rep_phash) <= 6, else roots at itself — so even a freak md5 near-pair
+    would be linked identically by both sides. Recall of the chunk-pair
+    keys is exactly 1.0 for HD <= 6 (pigeonhole: <= 6 flipped bits touch
+    <= 6 of the 8 chunks, so at least one of the C(8,2) chunk PAIRS is
+    untouched), hence the state lookup can never miss a qualifying link —
+    the twin's plain all-pairs join is the same set by construction. The
+    60-bit pHash (conv(md5-hex) in Spark == CAST('0x'||hex) in DuckDB)
+    keeps both engines' bigint arithmetic identical and ANSI-safe."""
+    import os as _os
+    import shutil as _shutil
+
+    from .streaming import incremental_dedup_stream
+
+    docs = _t(spark, sf, "documents")
+
+    def hex60(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+    def row(df, phash_col):
+        iid = F.format_string("doc%07d", F.col("doc_id"))
+        return df.select(
+            iid.alias("image_id"),
+            F.encode(F.concat(F.lit("img"), iid), "UTF-8").alias("bytes"),
+            F.lit(1).alias("w"), F.lit(1).alias("h"), F.lit("raw").alias("fmt"),
+            F.concat(F.lit("cap "), F.md5(F.encode(iid, "UTF-8"))).alias("caption"),
+            phash_col.alias("phash"),
+        )
+
+    b0 = row(docs.where(F.col("doc_id") < 200), hex60(F.col("doc_id")))
+    mask = (
+        "(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 59 AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7 + 1) % 59 AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 13 + 2) % 59 AS INT)))"
+    )
+    b1 = row(
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+        .withColumn("p0", hex60(F.col("doc_id") - 200)),
+        F.expr(f"p0 ^ {mask}"),
+    )
+    import hashlib as _hashlib
+
+    _tag = _hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:8]
+    root = f"/tmp/q52_stream_{_tag}"
+    _shutil.rmtree(root, ignore_errors=True)
+    landing = _os.path.join(root, "landing")
+    _os.makedirs(landing)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for fname, df, mtime in (("a.parquet", b0, 1_000_000_000),
+                             ("b.parquet", b1, 1_000_000_100)):
+        p = _os.path.join(landing, fname)
+        pq.write_table(pa.Table.from_pandas(df.toPandas(), preserve_index=False), p)
+        _os.utime(p, (mtime, mtime))
+    q_ = incremental_dedup_stream(
+        spark, landing, _os.path.join(root, "wh"), _os.path.join(root, "ckpt"),
+        max_files_per_trigger=1, fuzzy=True,
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(_os.path.join(root, "wh", "stream_assignments"))
+        .select("image_id", "cluster_id")
+    )
+
+
 @q("q50_ann_ivf_topk", None)
 def q50(spark, sf):
     """IVF-Flat batch ANN top-k (ann.ivf_topk) — the trained-quantizer
