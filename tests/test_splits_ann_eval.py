@@ -156,6 +156,29 @@ def test_assign_cells_calibrated_fanout_agrees_with_flat():
     )
 
 
+def test_probe_side_reaches_every_cell_above_two_level_ceiling(spark):
+    """Direct probe-contract pin at a REALISTIC cell count (the auto
+    two-level regime starts past 4096 cells, far above what the kmeans
+    fixtures train): with nprobe == nlist and two_level requested, every
+    one of the 4600 cells must come back, exactly ranked by cosine —
+    group pruning must never cap the probe side's reachable cells."""
+    ensure_shipped(spark)
+    rng = np.random.default_rng(5)
+    C = rng.normal(size=(4600, 8)).astype(np.float32)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    v = rng.normal(size=8).astype(np.float32)
+    df = spark.createDataFrame(
+        [("p0", [float(x) for x in v])], "vec_id string, embedding array<float>"
+    )
+    (row,) = ann.with_ivf_cells(
+        df, C, nprobe=len(C), two_level=True
+    ).select("cells").collect()
+    assert len(row["cells"]) == len(C)
+    vn = v / np.linalg.norm(v)
+    exact = np.argsort(-(C @ vn), kind="stable")
+    assert list(row["cells"]) == [int(i) for i in exact]
+
+
 def test_ivf_exhaustive_probe_equals_exact(spark, vec_df):
     """nprobe == nlist scans every cell: the IVF plumbing (cell assignment,
     join, re-rank) must then reproduce the exact batch top-k bit-for-bit —
