@@ -293,3 +293,24 @@ def test_reps_null_caption_contract(spark):
         ("d", "e", "minhash"),    # captioned dup family unaffected
         ("d", "e", "simhash"),
     }
+
+
+def test_degenerate_inputs(spark, tmp_path_factory):
+    """Empty and single-row corpora run the full pipeline cleanly — at
+    100 TB a partition-filtered slice can legitimately be empty, and every
+    stage (skew collect, CC, reps, metrics) must degrade to zero/one rows
+    instead of erroring on a missing aggregate row."""
+    from dedup import synth
+    from dedup.pipeline import Pipeline
+
+    base = tmp_path_factory.mktemp("degen")
+    empty = spark.createDataFrame(
+        [], "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+    )
+    assert Pipeline(str(base / "wh0")).run(spark, empty).count() == 0
+
+    src = str(base / "one.parquet")
+    synth.write_parquet(src, 1, seed=3)
+    out = Pipeline(str(base / "wh1")).run(spark, spark.read.parquet(src)).collect()
+    assert len(out) == 1 and out[0]["cluster_id"] == out[0]["image_id"]
