@@ -59,11 +59,16 @@ def _warm_page_cache(path: str) -> None:
     confirmation'). The benchmark compares COMPUTE round-over-round, so the
     input is made resident before the clock starts; cold-scan behavior at
     scale is a property of the cluster's storage tier, not of this plan."""
-    for root, _, files in os.walk(path):
-        for fn in files:
-            with open(os.path.join(root, fn), "rb") as f:
-                while f.read(1 << 24):
-                    pass
+    # img_path is a single parquet FILE (synth.write_parquet -> pyarrow),
+    # sf_dir a directory — os.walk on a plain file yields nothing
+    paths = [path] if os.path.isfile(path) else [
+        os.path.join(root, fn)
+        for root, _, files in os.walk(path) for fn in files
+    ]
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
 
 def main() -> None:

@@ -10,11 +10,16 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 import zipfile
 
 from pyspark.sql import SparkSession
 
 _SHIPPED: set[str] = set()
+# sessions whose SQLConf carries the optimizer-rule exclusion: keyed on the
+# SESSION object (a newSession() shares the applicationId but has its own
+# SQLConf, so the appId memo alone would silently skip the repair there)
+_CONF_APPLIED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def package_zip() -> str:
@@ -54,22 +59,22 @@ _GENERATE_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenera
 
 def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
+    if spark not in _CONF_APPLIED:
+        # externally-owned sessions (driver contract, notebooks) don't go
+        # through session.get_spark: apply the explode-double-eval exclusion
+        # (see session.py) at runtime, preserving any rules already
+        # excluded. Memoized per SESSION object (not per application — a
+        # newSession() has its own SQLConf); the steady-state cost is a
+        # WeakSet lookup, no JVM round-trip.
+        excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
+        if _GENERATE_RULE not in excluded:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules",
+                f"{excluded},{_GENERATE_RULE}" if excluded else _GENERATE_RULE,
+            )
+        _CONF_APPLIED.add(spark)
     key = sc.applicationId
     if key in _SHIPPED:
-        # steady state stays a pure set lookup: ensure_shipped runs at the
-        # top of every query builder, and the conf get/set below is a JVM
-        # gateway round-trip per call otherwise
         return
-    # externally-owned sessions (driver contract, notebooks) don't go
-    # through session.get_spark: apply the explode-double-eval exclusion
-    # (see session.py) at runtime, preserving any rules already excluded.
-    # Memoized per APPLICATION: a later newSession() with its own SQLConf
-    # would be missed, but every entry point here shares one session.
-    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
-    if _GENERATE_RULE not in excluded:
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules",
-            f"{excluded},{_GENERATE_RULE}" if excluded else _GENERATE_RULE,
-        )
     sc.addPyFile(package_zip())
     _SHIPPED.add(key)

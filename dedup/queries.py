@@ -1581,6 +1581,43 @@ def q49(spark, sf):
     )
 
 
+def _two_batch_fuzzy_stream(spark, sf, prefix, b0, b1):
+    """Shared q51/q52 scaffold: land b0 then b1 as separate micro-batches
+    (pinned mtimes order them), drain the incremental stream with the fuzzy
+    tiers on, and return the stream's assignment table. Keeping the landing
+    protocol in ONE place keeps the two oracle queries in lockstep — any
+    change here (mtime scheme, trigger size, checkpoint layout) applies to
+    both twins or neither."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming import incremental_dedup_stream
+
+    _tag = _hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:8]
+    root = f"/tmp/{prefix}_stream_{_tag}"
+    _shutil.rmtree(root, ignore_errors=True)
+    landing = _os.path.join(root, "landing")
+    _os.makedirs(landing)
+    for fname, df, mtime in (("a.parquet", b0, 1_000_000_000),
+                             ("b.parquet", b1, 1_000_000_100)):
+        p = _os.path.join(landing, fname)
+        pq.write_table(pa.Table.from_pandas(df.toPandas(), preserve_index=False), p)
+        _os.utime(p, (mtime, mtime))
+    q_ = incremental_dedup_stream(
+        spark, landing, _os.path.join(root, "wh"), _os.path.join(root, "ckpt"),
+        max_files_per_trigger=1, fuzzy=True,
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(_os.path.join(root, "wh", "stream_assignments"))
+        .select("image_id", "cluster_id")
+    )
+
+
 _Q51_SQL = """
     WITH b0 AS (
       SELECT printf('doc%07d', doc_id) AS image_id,
@@ -1630,11 +1667,6 @@ def q51(spark, sf):
     pHash is caption-derived (as in q49), so the sim tier runs but adds no
     merges: chunk-pair collisions of unrelated 64-bit hashes fail the
     inline Hamming<=6 verify (HD ~ 32)."""
-    import os as _os
-    import shutil as _shutil
-
-    from .streaming import incremental_dedup_stream
-
     docs = _t(spark, sf, "documents")
     cap10 = F.expr("array_join(slice(split(lower(text), ' '), 1, 10), ' ')")
     b0 = docs.where(F.col("doc_id") < 200).select(
@@ -1659,30 +1691,7 @@ def q51(spark, sf):
             F.xxhash64(F.col("vcap")).alias("phash"),
         )
     )
-    import hashlib as _hashlib
-
-    _tag = _hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:8]
-    root = f"/tmp/q51_stream_{_tag}"
-    _shutil.rmtree(root, ignore_errors=True)
-    landing = _os.path.join(root, "landing")
-    _os.makedirs(landing)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for fname, df, mtime in (("a.parquet", b0, 1_000_000_000),
-                             ("b.parquet", b1, 1_000_000_100)):
-        p = _os.path.join(landing, fname)
-        pq.write_table(pa.Table.from_pandas(df.toPandas(), preserve_index=False), p)
-        _os.utime(p, (mtime, mtime))
-    q_ = incremental_dedup_stream(
-        spark, landing, _os.path.join(root, "wh"), _os.path.join(root, "ckpt"),
-        max_files_per_trigger=1, fuzzy=True,
-    )
-    q_.awaitTermination()
-    return (
-        spark.read.parquet(_os.path.join(root, "wh", "stream_assignments"))
-        .select("image_id", "cluster_id")
-    )
+    return _two_batch_fuzzy_stream(spark, sf, "q51", b0, b1)
 
 
 _Q52_SQL = """
@@ -1733,11 +1742,6 @@ def q52(spark, sf):
     the twin's plain all-pairs join is the same set by construction. The
     60-bit pHash (conv(md5-hex) in Spark == CAST('0x'||hex) in DuckDB)
     keeps both engines' bigint arithmetic identical and ANSI-safe."""
-    import os as _os
-    import shutil as _shutil
-
-    from .streaming import incremental_dedup_stream
-
     docs = _t(spark, sf, "documents")
 
     def hex60(col):
@@ -1764,30 +1768,7 @@ def q52(spark, sf):
         .withColumn("p0", hex60(F.col("doc_id") - 200)),
         F.expr(f"p0 ^ {mask}"),
     )
-    import hashlib as _hashlib
-
-    _tag = _hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:8]
-    root = f"/tmp/q52_stream_{_tag}"
-    _shutil.rmtree(root, ignore_errors=True)
-    landing = _os.path.join(root, "landing")
-    _os.makedirs(landing)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for fname, df, mtime in (("a.parquet", b0, 1_000_000_000),
-                             ("b.parquet", b1, 1_000_000_100)):
-        p = _os.path.join(landing, fname)
-        pq.write_table(pa.Table.from_pandas(df.toPandas(), preserve_index=False), p)
-        _os.utime(p, (mtime, mtime))
-    q_ = incremental_dedup_stream(
-        spark, landing, _os.path.join(root, "wh"), _os.path.join(root, "ckpt"),
-        max_files_per_trigger=1, fuzzy=True,
-    )
-    q_.awaitTermination()
-    return (
-        spark.read.parquet(_os.path.join(root, "wh", "stream_assignments"))
-        .select("image_id", "cluster_id")
-    )
+    return _two_batch_fuzzy_stream(spark, sf, "q52", b0, b1)
 
 
 @q("q50_ann_ivf_topk", None)

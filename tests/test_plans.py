@@ -136,13 +136,16 @@ def _arrow_udf_counts(p: str):
     from collections import Counter
 
     nodes = re.findall(
-        r"\(\d+\) ArrowEvalPython\s+Input[^\n]*\nArguments: \[([^\]]*)\]", p
+        r"\(\d+\) ArrowEvalPython\s+Input[^\n]*\nArguments: (.*)", p
     )
     c: Counter = Counter()
     for args in nodes:
-        # UDF invocations sit at the top level of the comma-separated list:
-        # an identifier immediately followed by '(' (column refs are name#id)
-        c.update(re.findall(r"(?:^|[,\s])(\w+)\(", args))
+        # take the WHOLE Arguments line (a ']' inside an expression argument
+        # would truncate a bracket-bounded capture and undercount) and count
+        # every invocation of the engine's underscore-named UDFs; nested
+        # builtin calls (coalesce(, cast() count under their own names,
+        # which no pin asserts on
+        c.update(re.findall(r"(_\w+)\(", args))
     return c
 
 
