@@ -453,12 +453,22 @@ def ivf_topk(
     c = with_ivf_cells(
         embeddings, C, vec_col, nprobe=1, two_level=use_two, fanout=fanout
     ).select(F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell"))
-    p = with_ivf_cells(
-        probes.dropDuplicates([probe_id_col]), C, probe_vec_col,
+    pdd = probes.dropDuplicates([probe_id_col])
+    # the exploded probe side is SLIM (probe_id, cell): each probe fans out
+    # to nprobe rows, and carrying the vector through the explode would
+    # multiply it nprobe times in the broadcast (~10 MB per dim-128 probe at
+    # the 65,536-cell ceiling's auto nprobe — the exploded-vector shape the
+    # q33/batch_topk_lsh lesson removed). Vectors ride a SECOND broadcast of
+    # the unexploded probe table and join back on probe_id after the cell
+    # join; the broadcast budget is probes x nprobe slim rows + probes
+    # vectors, and the corpus still never crosses an exchange.
+    p_cells = with_ivf_cells(
+        pdd, C, probe_vec_col,
         nprobe=nprobe, two_level=use_two, fanout=fanout,
-    ).select(F.col(probe_id_col), F.col(probe_vec_col), F.explode("cells").alias("cell"))
+    ).select(F.col(probe_id_col), F.explode("cells").alias("cell"))
     cand = (
-        c.join(F.broadcast(p), "cell")
+        c.join(F.broadcast(p_cells), "cell")
+        .join(F.broadcast(pdd), probe_id_col)
         .where(F.col(id_col) != F.col(probe_id_col))
         .select(
             probe_id_col, id_col, cosine_expr(vec_col, probe_vec_col).alias("cosine")

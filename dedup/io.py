@@ -193,6 +193,18 @@ class Warehouse:
         for entry in self.lineage():
             if entry["stage"] not in seen:
                 seen.append(entry["stage"])
+        # the journal alone can miss a stage whose manifest committed but
+        # whose lineage append never ran (crash between write_json_atomic
+        # and _append_lineage): union in every _manifest_*.json actually on
+        # disk, otherwise invalidation (deps walk AND time cut both iterate
+        # this list) would silently keep such a stage marked complete over
+        # rebuilt inputs — stale reuse, the one failure resume must never
+        # have
+        for name in self.fs.list_files(self.root):
+            if name.startswith("_manifest_") and name.endswith(".json"):
+                s = name[len("_manifest_"):-len(".json")]
+                if s not in seen:
+                    seen.append(s)
         return seen
 
     def invalidate_after(self, stage: str, ordered_stages: list[str] | None = None) -> None:

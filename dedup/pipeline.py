@@ -479,34 +479,45 @@ class Pipeline:
         group_names: list = []  # collected where the stages commit (single source)
         n_groups = self._resolve_band_groups(self.wh.manifest("signatures")["row_count"])
         rows_per_group = max(1, cfg.lsh_bands // n_groups)
-        for g in range(0, cfg.lsh_bands, rows_per_group):
-            lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
-            group_names.append(f"scored_minhash_b{lo:02d}_{hi:02d}")
-            cached: list[DataFrame] = []
+        live_caches: list[DataFrame] = []  # banded tables not yet unpersisted
+        try:
+            for g in range(0, cfg.lsh_bands, rows_per_group):
+                lo, hi = g, min(g + rows_per_group - 1, cfg.lsh_bands - 1)
+                group_names.append(f"scored_minhash_b{lo:02d}_{hi:02d}")
 
-            def build_scored(lo=lo, hi=hi, cached=cached):
-                pairs, skew, banded = lsh.minhash_scored_band(
-                    sigs, "rep_id", cfg, lo, hi, sample_mod=cfg.metrics_inter_sample_mod
+                def build_scored(lo=lo, hi=hi):
+                    pairs, skew, banded = lsh.minhash_scored_band(
+                        sigs, "rep_id", cfg, lo, hi, sample_mod=cfg.metrics_inter_sample_mod
+                    )
+                    live_caches.append(banded)
+                    stats = {
+                        k: (float(v) if v is not None else None)
+                        for k, v in skew.collect()[0].asDict().items()
+                    }
+                    return pairs, {"skew": stats}
+
+                group_dfs.append(
+                    self._stage(spark, group_names[-1], build_scored,
+                                deps=("signatures",), band_lo=lo, band_hi=hi)
                 )
-                cached.append(banded)
-                stats = {
-                    k: (float(v) if v is not None else None)
-                    for k, v in skew.collect()[0].asDict().items()
-                }
-                return pairs, {"skew": stats}
-
-            group_dfs.append(
-                self._stage(spark, group_names[-1], build_scored,
-                            deps=("signatures",), band_lo=lo, band_hi=hi)
-            )
-            # fail fast: a tail-stage thread that died seconds into the run
-            # must not wait out the whole band pass (hours at scale) before
-            # surfacing at the pairs barrier
-            if errors:
-                raise errors[0]
-            # the stage write has committed: release this group's banded cache
-            for b in cached:
-                b.unpersist()
+                # fail fast: a tail-stage thread that died seconds into the run
+                # must not wait out the whole band pass (hours at scale) before
+                # surfacing at the pairs barrier
+                if errors:
+                    raise errors[0]
+                # the stage write has committed: release this group's banded cache
+                while live_caches:
+                    live_caches.pop().unpersist()
+        except BaseException:
+            # the raise path must not leak: join the tail threads first (they
+            # would otherwise keep submitting jobs and committing manifests
+            # after run() has raised, racing any retry), then release every
+            # banded cache the aborted pass left persisted
+            for t in (t_reps, t_simhash, t_substr):
+                t.join()
+            while live_caches:
+                live_caches.pop().unpersist()
+            raise
 
         # manifest-level union of the committed band-group dirs — a VIEW, not
         # a stage: r02 read the groups back, distinct'ed and re-wrote every

@@ -124,6 +124,29 @@ class StreamState:
                 "warehouse (compaction rebuilds assignments under the new cfg)."
             )
 
+    def check_batch_monotonic(self, batch_id: int, man: dict | None = None) -> None:
+        """Refuse a batch id BELOW the manifest's: ids only move forward
+        under one checkpoint, so a lower id means the stream was restarted
+        against this state with a fresh/reset checkpoint. Early-returning
+        would silently freeze the state table (assignments keep writing,
+        lookups go stale); re-folding would overwrite version dirs the
+        manifest still references. Called at the TOP of the micro-batch —
+        before the assignments write — so a refused batch publishes
+        nothing: the commit-time check alone fired only after the
+        batch's stream_assignments dir had already been overwritten
+        (r04 review finding). batch_id EQUAL to the manifest's is fine
+        everywhere: that is the checkpoint-replay of the just-committed
+        batch, whose output rewrite and state fold are idempotent."""
+        if man is None:
+            man = self.manifest()
+        if man is not None and man.get("batch_id") is not None and man["batch_id"] > batch_id:
+            raise RuntimeError(
+                f"state manifest is at batch {man['batch_id']} but the stream "
+                f"delivered batch {batch_id}: checkpoint was reset against "
+                "existing state. Resume with the original checkpoint dir, or "
+                "start a fresh state warehouse."
+            )
+
     def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
         """State rows of the requested buckets only (empty DF when no state).
 
@@ -140,7 +163,9 @@ class StreamState:
         cols = [c.strip().split()[0] for c in self.columns.split(",")]
         return spark.read.parquet(*paths).select(*cols)
 
-    def commit(self, merged: DataFrame, touched: list[int], batch_id: int) -> None:
+    def commit(
+        self, merged: DataFrame, touched: list[int], batch_id: int, gc: bool = True,
+    ) -> list[str]:
         """Write merged state for `touched` buckets to a fresh version dir,
         then atomically swing the manifest. `merged` carries
         (key, rep_id, bucket) for exactly the touched buckets.
@@ -151,26 +176,24 @@ class StreamState:
         the write would target v{batch_id} — the very dirs the manifest points
         at — and mode=overwrite would delete the only copy of the touched
         buckets before the (lazy) state read ran. So a committed batch_id is
-        an early return, never a rewrite."""
+        an early return, never a rewrite.
+
+        gc=False skips deleting the superseded bucket dirs and returns them
+        for the CALLER to delete once every job whose lineage may still read
+        them has run: persist() alone does not close that window on a real
+        cluster — a lost executor recomputes cached partitions through the
+        original lineage, and MEMORY_AND_DISK survives memory pressure, not
+        executor death. Deferred orphans from a crash are never referenced
+        again (the manifest already points past them)."""
         man = self.manifest()
         if man is not None:
             self._check_key_format(man)
         if man is not None and man.get("batch_id") is not None:
             if man["batch_id"] == batch_id:
-                return  # checkpoint-replay of the just-committed batch
-            if man["batch_id"] > batch_id:
-                # batch ids only move forward under one checkpoint; a LOWER id
-                # means the stream was restarted against this state with a
-                # fresh/reset checkpoint. Early-returning would silently
-                # freeze the state table (assignments keep writing, lookups
-                # go stale); re-folding would overwrite version dirs the
-                # manifest still references. Refuse loudly instead.
-                raise RuntimeError(
-                    f"state manifest is at batch {man['batch_id']} but the stream "
-                    f"delivered batch {batch_id}: checkpoint was reset against "
-                    "existing state. Resume with the original checkpoint dir, or "
-                    "start a fresh state warehouse."
-                )
+                return []  # checkpoint-replay of the just-committed batch
+            # a LOWER id refuses (checkpoint reset) — also pre-checked by
+            # check_batch_monotonic BEFORE the batch publishes any output
+            self.check_batch_monotonic(batch_id, man)
         vdir = os.path.join(self.root, f"v{batch_id:09d}")
         # repartition on the bucket column first: otherwise every shuffle
         # task writes a file into every bucket dir it sees (up to
@@ -202,8 +225,11 @@ class StreamState:
         write_json_atomic(self.fs, self._manifest_path(), man)
         # GC superseded bucket dirs AFTER the commit point (a crash here only
         # leaves orphans; the manifest never references them again)
+        if not gc:
+            return replaced
         for old in replaced:
             self.fs.delete(old, recursive=True)
+        return []
 
 
 def _batch_assignments(keyed: DataFrame, hit: DataFrame) -> DataFrame:
@@ -580,6 +606,11 @@ def _assign_batch_body(spark, keyed, state, out_dir, batch_id, warehouse, fuzzy,
         .where(F.col("key").isNotNull())
         .withColumn("bucket", state.bucket_col("key"))
     )
+    # refuse a reset checkpoint BEFORE any output publishes (the batch's
+    # stream_assignments dir would otherwise be overwritten first and the
+    # refusal would fire only at state-commit time, leaving a corrupted
+    # public table behind)
+    state.check_batch_monotonic(batch_id)
     touched = _touched_buckets(exploded)
     if not touched:
         # empty micro-batch (e.g. a zero-row input file): nothing to assign,
@@ -593,11 +624,18 @@ def _assign_batch_body(spark, keyed, state, out_dir, batch_id, warehouse, fuzzy,
     # picks the rep of the highest-priority (lowest prio) matching key, and
     # partial-aggregates map-side like any min. prio rides along so
     # _batch_assignments can re-minimize ACROSS a group's members.
+    # persisted: the hit subtree (state-bucket read + exploded join + agg)
+    # feeds TWO independent broadcast subplans of assigned0 (cap_hits and
+    # exact_hits) plus hit_reps in fuzzy mode — unpersisted it re-read the
+    # touched state buckets 2-3x per trigger. Slim (3 cols, micro-batch
+    # bounded); filled by the first broadcast build, before the exact
+    # commit GCs the state dirs its lineage reads.
     hit = (
         exploded.join(seen, "key")
         .groupBy("image_id")
         .agg(F.min(F.struct("prio", "rep_id")).alias("h"))
         .select("image_id", F.col("h.prio").alias("prio"), F.col("h.rep_id").alias("rep_id"))
+        .persist()
     )
     # persist the slim assignment table too: its lineage (state bucket read
     # + hit aggregation + four broadcast joins) is consumed by up to 5
@@ -623,6 +661,7 @@ def _assign_batch_body(spark, keyed, state, out_dir, batch_id, warehouse, fuzzy,
         # checkpoint-reset refusal) would otherwise pin the cached tables
         # for the life of a --follow application, one set per retried
         # micro-batch (review finding)
+        hit.unpersist()
         assigned0.unpersist()
         if band is not None:
             for h in band[2]:
@@ -645,7 +684,11 @@ def _commit_batch(spark, assigned, state, seen, out_dir, touched, batch_id, band
         .agg(F.min("rep_id").alias("rep_id"))
         .withColumn("bucket", state.bucket_col("key"))
     )
-    state.commit(merged, touched, batch_id)
+    # exact commit with DEFERRED GC: the fuzzy fold jobs below may still
+    # recompute lineage through the superseded exact-state dirs (executor
+    # loss re-derives persisted partitions from the original plan), so the
+    # old dirs are deleted only after every job of this batch has run
+    replaced = state.commit(merged, touched, batch_id, gc=False)
     if band is not None:
         # band-state commit LAST: a crash between the two commits replays
         # the batch, whose exact-tier fold early-returns (already at this
@@ -654,6 +697,8 @@ def _commit_batch(spark, assigned, state, seen, out_dir, touched, batch_id, band
         # just-committed exact keys — completes idempotently.
         band_commit, band_touched, _handles = band
         band_commit(batch_id, band_touched)
+    for old in replaced:
+        state.fs.delete(old, recursive=True)
 
 
 def compact_fuzzy(

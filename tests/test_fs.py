@@ -150,6 +150,34 @@ def test_invalidate_after_walks_recorded_deps(spark, tmp_path):
     assert wh.is_complete("keys")            # upstream untouched
 
 
+def test_invalidation_sees_manifest_missing_from_lineage(spark, tmp_path):
+    """A stage whose manifest committed but whose lineage append never ran
+    (crash between write_json_atomic and _append_lineage) must still be
+    enumerated — journal-only enumeration left such a stage marked complete
+    over rebuilt inputs (r04 review finding). Covers both cut modes."""
+    import json as _json
+    import os as _os
+
+    from dedup.io import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), "cfg")
+    one = spark.range(1)
+    wh.write(one, "keys", deps=[])
+    wh.write(one, "pairs", deps=["keys"])
+    # simulate the crash: 'orphan' depends on keys, manifest on disk, but
+    # its journal line is missing (copy pairs' manifest under a new name)
+    man = dict(wh.manifest("pairs"))
+    man["stage"] = "orphan"
+    with open(_os.path.join(str(tmp_path / "wh"), "_manifest_orphan.json"), "w") as f:
+        _json.dump(man, f)
+    assert wh.is_complete("orphan")
+    assert "orphan" in wh.stage_order()      # FS union sees it
+    wh.invalidate_after("keys")              # deps walk must drop it too
+    assert not wh.is_complete("orphan")
+    assert not wh.is_complete("pairs")
+    assert not wh.is_complete("keys")
+
+
 def test_invalidate_after_cross_run_regroup(spark, tmp_path):
     """The invalidation cut is by CURRENT manifest commit time, not journal
     first-seen order: when a later run commits a band-group name the journal

@@ -243,6 +243,14 @@ def test_checkpoint_reset_against_existing_state_raises(spark, tmp_path):
     _assign_batch(batch, 5, wh)  # exact replay of the committed batch: no-op
     with _pytest.raises(RuntimeError, match="checkpoint was reset"):
         _assign_batch(batch, 3, wh)
+    # the refusal must fire BEFORE the batch publishes output: a
+    # commit-time-only check had already (over)written the delivered
+    # batch's stream_assignments partition when it raised (r04 review)
+    assert not os.path.exists(
+        os.path.join(wh, "stream_assignments", "batch_id=3")
+    )
+    asg = spark.read.parquet(os.path.join(wh, "stream_assignments"))
+    assert asg.count() == 30  # exactly the committed batch, nothing extra
 
 
 def test_null_caption_rows_root_themselves(spark, tmp_path):
