@@ -41,9 +41,11 @@ HEADLINE = [
     "q46_auc_roc",
     "q47_eval_results_table",
     "q48_member_outlier_scores",
-    # round 4 addition (IVF-Flat ANN; the streaming tiers are benched
-    # separately in BENCH.md — a micro-batch drain isn't a per-query wall)
+    # round 4 additions (IVF-Flat ANN + post-dedup exemplar selection; the
+    # streaming tiers are benched separately in BENCH.md — a micro-batch
+    # drain isn't a per-query wall)
     "q50_ann_ivf_topk",
+    "q53_cluster_exemplars",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "60000"))

@@ -1771,6 +1771,69 @@ def q52(spark, sf):
     return _two_batch_fuzzy_stream(spark, sf, "q52", b0, b1)
 
 
+_Q53_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             text || ' extended tail for exemplar quality' AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             text || ' extended tail for exemplar quality' AS text
+      FROM documents),
+    mem AS (
+      SELECT md5(substr(text, 1, 40)) AS ck, doc_id,
+             CAST(length(text) AS BIGINT) AS quality
+      FROM corpus),
+    ranked AS (
+      SELECT doc_id, quality,
+             MIN(doc_id) OVER (PARTITION BY ck) AS cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY ck ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM mem)
+    SELECT cluster_id, doc_id AS exemplar_id, quality
+    FROM ranked WHERE rn = 1
+    """
+
+
+@q("q53_cluster_exemplars", _Q53_SQL)
+def q53(spark, sf):
+    """Quality-based exemplar per dedup cluster (splits.select_exemplars):
+    after dedup, a training-data pipeline keeps ONE member per cluster —
+    the BEST one (here: longest text; ties to min id), not the
+    arrival-order one the reference's dropDuplicates keeps
+    (filter.py:51-57). The corpus plants 3-member clusters (original +
+    two identical extended copies sharing a 40-char-prefix key): the
+    extension must win on quality and the two equal-quality copies must
+    tie-break to the lower id.
+
+    The operator is a single groupBy min(struct(-quality, id)) — one
+    partial-aggregating exchange, NO window (the twin's row_number
+    formulation would be a straggler on a viral cluster at scale; see the
+    r03 reps finding)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    tail = " extended tail for exemplar quality"
+    ext = F.concat(F.col("text"), F.lit(tail)).alias("text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), ext)
+    ).unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), ext)
+    )
+    mem = corpus.select(
+        F.md5(F.substring("text", 1, 40)).alias("ck"),
+        "doc_id",
+        F.length("text").cast("long").alias("quality"),
+    )
+    # cluster roots via groupBy-min + join-back (the skew-safe reps shape)
+    roots = mem.groupBy("ck").agg(F.min("doc_id").alias("cluster_id"))
+    from .splits import select_exemplars
+
+    return select_exemplars(
+        mem.join(roots, "ck"), "cluster_id", "doc_id", "quality"
+    )
+
+
 @q("q50_ann_ivf_topk", None)
 def q50(spark, sf):
     """IVF-Flat batch ANN top-k (ann.ivf_topk) — the trained-quantizer

@@ -71,3 +71,32 @@ def leak_audit(split_df: DataFrame, group_col: str = "cluster_id") -> DataFrame:
         .agg(F.countDistinct("split").alias("n_splits"))
         .where(F.col("n_splits") > 1)
     )
+
+
+def select_exemplars(
+    members: DataFrame, cluster_col: str = "cluster_id",
+    id_col: str = "image_id", quality_col: str = "quality",
+) -> DataFrame:
+    """One exemplar per cluster by QUALITY: the member with the highest
+    numeric quality, ties broken to the lowest id (deterministic). The
+    training-data step after dedup — the reference keeps the first
+    occurrence per duplicate group (filter.py:51-57 `dropDuplicates`);
+    at scale the kept row should be the best one (longest caption,
+    highest resolution, best decode score), not the arrival-order one.
+
+    Shape: a single groupBy with min(struct(-quality, id)) — argmax by
+    quality with a min-id tie-break in ONE partial-aggregating exchange.
+    No window: Window.partitionBy(cluster) materializes each cluster in
+    one task, and dedup clusters are exactly where viral families live
+    (the r03 reps-stage straggler, measured in bench/reps_skew.py).
+    Returns (cluster_col, exemplar_id, quality_col)."""
+    nq = (-F.col(quality_col)).alias("nq")
+    return (
+        members.groupBy(cluster_col)
+        .agg(F.min(F.struct(nq, F.col(id_col).alias("eid"))).alias("b"))
+        .select(
+            cluster_col,
+            F.col("b.eid").alias("exemplar_id"),
+            (-F.col("b.nq")).alias(quality_col),
+        )
+    )

@@ -273,3 +273,26 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert "xx" not in by
     assert abs(by["en"] / 2000 - 0.5) < 0.06
     assert abs(by["de"] / 2000 - 0.2) < 0.06
+
+
+def test_select_exemplars_quality_argmax_no_window(spark):
+    """Highest quality wins, ties to min id; and the plan is a groupBy
+    argmax (partial-aggregating), NOT a window — a window over cluster_id
+    materializes a viral cluster in one task (the r03 reps straggler)."""
+    from dedup.splits import select_exemplars
+
+    mem = spark.createDataFrame(
+        [
+            ("c1", "a", 10), ("c1", "b", 30), ("c1", "c", 30),  # tie b/c -> b
+            ("c2", "z", 5),                                      # singleton
+        ],
+        "cluster_id string, image_id string, quality long",
+    )
+    out = select_exemplars(mem)
+    got = {(r["cluster_id"], r["exemplar_id"], r["quality"]) for r in out.collect()}
+    assert got == {("c1", "b", 30), ("c2", "z", 5)}
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2  # partial+final
