@@ -1834,6 +1834,50 @@ def q53(spark, sf):
     )
 
 
+_Q54_SQL = """
+    WITH bench AS (
+      SELECT printf('b%05d', doc_id) AS bench_id,
+             substr(lower(text), 10, 30) AS fragment
+      FROM documents WHERE doc_id < 40 AND length(text) >= 40),
+    hits AS (
+      SELECT d.doc_id, b.bench_id
+      FROM documents d JOIN bench b
+        ON position(b.fragment IN lower(d.text)) > 0)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_hits,
+           MIN(bench_id) AS first_bench
+    FROM hits GROUP BY doc_id
+    """
+
+
+@q("q54_benchmark_decontamination", _Q54_SQL)
+def q54(spark, sf):
+    """Benchmark decontamination (verify.flag_contaminated): flag corpus
+    docs that CONTAIN any benchmark fragment — the step that keeps eval
+    benchmarks out of an LLM training set. The benchmark is 40 planted
+    30-char snippets cut from the corpus itself (so every source doc is
+    contaminated by construction, and common phrases may contaminate
+    others — the twin agrees either way: it applies the identical
+    lowercased-containment criterion with a plain position() join).
+
+    The engine side is the substring-dedup machinery re-aimed at two
+    tables: one min-kgram key per benchmark fragment joins the corpus
+    docs' winnow fingerprints (lossless for fragments >= substr_min_len),
+    verification fused into the join — nothing quadratic in either
+    table, unlike the twin's all-pairs position() scan."""
+    from .deploy import ensure_shipped
+    from .verify import flag_contaminated
+
+    ensure_shipped(spark)  # winnow/min-kgram Arrow UDFs run on the workers
+
+    d = _t(spark, sf, "documents")
+    bench = d.where((F.col("doc_id") < 40) & (F.length("text") >= 40)).select(
+        F.format_string("b%05d", F.col("doc_id")).alias("bench_id"),
+        F.substring(F.lower("text"), 10, 30).alias("fragment"),
+    )
+    return flag_contaminated(d.select("doc_id", "text"), bench)
+
+
 @q("q50_ann_ivf_topk", None)
 def q50(spark, sf):
     """IVF-Flat batch ANN top-k (ann.ivf_topk) — the trained-quantizer

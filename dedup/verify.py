@@ -155,6 +155,32 @@ def substring_edges(
     builds the container's suffix array once and binary-searches each
     candidate fragment — O(len * log) per probe beats instr's O(len_a*len_b)
     exactly when documents are long (the 100TB-document regime)."""
+    src = captions_df.select(id_col, caption_col)
+    pairs = (
+        _containment_hits(src, src, id_col, caption_col, cfg,
+                          sa_min_container_len, exclude_self=True)
+        .select(F.least("cid", "fid").alias("id_a"), F.greatest("cid", "fid").alias("id_b"))
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", F.lit("substring").alias("match_type"), F.lit(1.0).alias("score")
+    )
+
+
+def _containment_hits(
+    containers_src: DataFrame, fragments_src: DataFrame,
+    id_col: str, text_col: str, cfg: DedupConfig,
+    sa_min_container_len: int, exclude_self: bool,
+) -> DataFrame:
+    """(cid, fid) pairs where the fragment row's text occurs inside the
+    container row's text (both lowercased). The shared core of the self-join
+    substring pass (substring_edges) and the two-table decontamination pass
+    (flag_contaminated) — one place owns the winnow/min-kgram candidate join
+    and the fused short/long verification.
+
+    Lossless for fragments of length >= cfg.substr_min_len: the fragment's
+    minimum k-gram hash is winnow-selected in every container that contains
+    it (signatures.min_kgram_hash)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _wf(s: pd.Series) -> pd.Series:
@@ -173,23 +199,29 @@ def substring_edges(
 
     # explicit parallelism: AQE's byte-based coalescing would serialize the
     # winnowing UDFs on small-but-compute-heavy caption tables
-    dp = captions_df.sparkSession.sparkContext.defaultParallelism
-    base = captions_df.select(
-        F.col(id_col).alias("id"), F.lower(F.col(caption_col)).alias("caption")
-    ).repartition(dp * 2)
-    containers = base.select(
+    dp = containers_src.sparkSession.sparkContext.defaultParallelism
+
+    def norm(df):
+        return df.select(
+            F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("caption")
+        ).repartition(dp * 2)
+
+    containers = norm(containers_src).select(
         "id",
         "caption",
         F.length("caption").alias("len"),
         F.explode(_wf(F.col("caption"))).alias("fp"),
     )
-    fragments = base.select(
+    fragments = norm(fragments_src).select(
         "id", "caption", F.length("caption").alias("len"), _minfp(F.col("caption")).alias("fp")
     ).where(F.col("fp").isNotNull() & (F.col("len") >= cfg.substr_min_len))
     a = containers.alias("a")
     b = fragments.alias("b")
+    on = F.col("a.fp") == F.col("b.fp")
+    if exclude_self:
+        on = on & (F.col("a.id") != F.col("b.id"))
     raw = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")))
+        a.join(b, on)
         .where(F.col("b.len") <= F.col("a.len"))
         .select(
             F.col("a.id").alias("cid"),
@@ -208,7 +240,10 @@ def substring_edges(
     # long containers: dedup candidates, then per-container suffix array
     long_cand = raw.where(F.col("c_len") >= sa_min_container_len).dropDuplicates(["cid", "fid"])
     out_schema = T.StructType(
-        [T.StructField("cid", T.StringType()), T.StructField("fid", T.StringType())]
+        [
+            T.StructField("cid", long_cand.schema["cid"].dataType),
+            T.StructField("fid", long_cand.schema["fid"].dataType),
+        ]
     )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -217,11 +252,37 @@ def substring_edges(
         return pdf.loc[hits, ["cid", "fid"]]
 
     long_hits = long_cand.groupBy("cid").applyInPandas(emit, out_schema)
-    pairs = (
-        short.union(long_hits)
-        .select(F.least("cid", "fid").alias("id_a"), F.greatest("cid", "fid").alias("id_b"))
-        .distinct()
+    return short.union(long_hits)
+
+
+def flag_contaminated(
+    corpus: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str = "bench_id", bench_text_col: str = "fragment",
+    cfg: DedupConfig = DEFAULT, sa_min_container_len: int = 2048,
+) -> DataFrame:
+    """Benchmark decontamination: corpus rows whose text CONTAINS any
+    benchmark fragment (lowercased, fragments >= cfg.substr_min_len chars —
+    shorter fragments are rejected, matching the winnow guarantee). The
+    LLM-training-data step that keeps eval benchmarks out of the training
+    set; the standard recipe is exactly this n-gram/substring containment
+    test at a minimum overlap length.
+
+    Same shuffle-bounded shape as the substring dedup pass: the benchmark
+    side contributes ONE min-kgram key per fragment, the corpus side its
+    winnow fingerprints, verification fuses into the join (instr for short
+    docs, per-container suffix array for long ones). Nothing is quadratic
+    in either table. Returns one row per contaminated corpus doc:
+    (id_col, n_bench_hits, first_bench = min contaminating benchmark id)."""
+    hits = _containment_hits(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        benchmark.select(F.col(bench_id_col).alias("id"), F.col(bench_text_col).alias("t")),
+        "id", "t", cfg, sa_min_container_len, exclude_self=False,
     )
-    return pairs.select(
-        "id_a", "id_b", F.lit("substring").alias("match_type"), F.lit(1.0).alias("score")
+    return (
+        hits.groupBy(F.col("cid").alias(id_col))
+        .agg(
+            F.countDistinct("fid").alias("n_bench_hits"),
+            F.min("fid").alias("first_bench"),
+        )
     )

@@ -87,3 +87,36 @@ def test_substring_edges_spark(spark):
     assert ("b", "e") in pairs  # b is a fragment of e too
     assert all(r["match_type"] == "substring" and r["score"] == 1.0 for r in out)
     assert not any("d" in p or "c" in p for p in pairs)
+
+
+def test_flag_contaminated_two_table(spark):
+    """Decontamination: corpus docs containing a benchmark fragment are
+    flagged (lowercased containment), fragments below substr_min_len are
+    rejected, and the long-container suffix-array route agrees with the
+    short instr route."""
+    from dedup.deploy import ensure_shipped
+    from dedup.verify import flag_contaminated
+
+    ensure_shipped(spark)
+    long_doc = "z" * 3000 + " the quick brown fox jumps over dogs " + "y" * 100
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean text with nothing shared at all here"),
+            (2, "prefix THE QUICK BROWN fox jumps over dogs suffix"),  # case-folded hit
+            (3, long_doc),                                             # SA route hit
+            (4, "tiny frag here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("b1", "the quick brown fox jumps over dogs"),  # 35 chars >= 20
+            ("b2", "tiny frag"),                            # 9 chars < 20: rejected
+        ],
+        "bench_id string, fragment string",
+    )
+    got = {
+        (r["doc_id"], r["n_bench_hits"], r["first_bench"])
+        for r in flag_contaminated(corpus, bench, sa_min_container_len=2048).collect()
+    }
+    assert got == {(2, 1, "b1"), (3, 1, "b1")}
