@@ -453,7 +453,12 @@ def ivf_topk(
     c = with_ivf_cells(
         embeddings, C, vec_col, nprobe=1, two_level=use_two, fanout=fanout
     ).select(F.col(id_col), F.col(vec_col), F.explode("cells").alias("cell"))
-    pdd = probes.dropDuplicates([probe_id_col])
+    # projected to exactly (id, vec): the join-back below would otherwise
+    # carry any extra probe column into cand (ambiguous against id_col/
+    # vec_col). pdd is computed once per broadcast build (twice total) —
+    # probes are small by contract (they ride broadcasts), so a persist's
+    # lifecycle management isn't worth the scan it saves.
+    pdd = probes.dropDuplicates([probe_id_col]).select(probe_id_col, probe_vec_col)
     # the exploded probe side is SLIM (probe_id, cell): each probe fans out
     # to nprobe rows, and carrying the vector through the explode would
     # multiply it nprobe times in the broadcast (~10 MB per dim-128 probe at

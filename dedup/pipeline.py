@@ -382,8 +382,15 @@ class Pipeline:
             def tgt():
                 try:
                     # pinned-thread mode does not inherit local properties:
-                    # each submitting thread names its own FAIR pool
+                    # each submitting thread names its own FAIR pool, and its
+                    # own job group so the abort path can cancel THIS
+                    # pipeline's tail jobs without touching other users of a
+                    # shared session
                     spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+                    spark.sparkContext.setJobGroup(
+                        f"dedup-tail-{name}", f"pipeline tail stage {name}",
+                        interruptOnCancel=True,
+                    )
                     results[name] = thunk()
                 except BaseException as e:
                     # first error re-raised on the main thread; every
@@ -509,10 +516,16 @@ class Pipeline:
                 while live_caches:
                     live_caches.pop().unpersist()
         except BaseException:
-            # the raise path must not leak: join the tail threads first (they
-            # would otherwise keep submitting jobs and committing manifests
-            # after run() has raised, racing any retry), then release every
-            # banded cache the aborted pass left persisted
+            # the raise path must not leak OR stall: cancel the tail threads'
+            # job groups first (joining alone would block the failure behind
+            # hours-long tail jobs at scale — the fail-fast promise above),
+            # then join (so no thread keeps submitting jobs or committing
+            # manifests after run() has raised, racing any retry), then
+            # release every banded cache the aborted pass left persisted.
+            # A cancelled thread commits no manifest: its stage recomputes
+            # on the retry.
+            for n in ("reps", "edges_simhash", "edges_substring"):
+                spark.sparkContext.cancelJobGroup(f"dedup-tail-{n}")
             for t in (t_reps, t_simhash, t_substr):
                 t.join()
             while live_caches:

@@ -1773,15 +1773,15 @@ def q52(spark, sf):
 
 _Q53_SQL = """
     WITH corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
       UNION ALL
       SELECT doc_id + 100000 AS doc_id,
              text || ' extended tail for exemplar quality' AS text
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
       UNION ALL
       SELECT doc_id + 200000 AS doc_id,
              text || ' extended tail for exemplar quality' AS text
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     mem AS (
       SELECT md5(substr(text, 1, 40)) AS ck, doc_id,
              CAST(length(text) AS BIGINT) AS quality
@@ -1812,7 +1812,13 @@ def q53(spark, sf):
     partial-aggregating exchange, NO window (the twin's row_number
     formulation would be a straggler on a viral cluster at scale; see the
     r03 reps finding)."""
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # NULL texts dropped on BOTH sides: the engine's inner join on ck would
+    # silently drop a NULL key while the twin's PARTITION BY groups NULLs
+    d = (
+        _t(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     tail = " extended tail for exemplar quality"
     ext = F.concat(F.col("text"), F.lit(tail)).alias("text")
     corpus = d.unionByName(

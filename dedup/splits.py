@@ -89,10 +89,15 @@ def select_exemplars(
     No window: Window.partitionBy(cluster) materializes each cluster in
     one task, and dedup clusters are exactly where viral families live
     (the r03 reps-stage straggler, measured in bench/reps_skew.py).
-    Returns (cluster_col, exemplar_id, quality_col)."""
+    NULL-quality members are ignored — struct ordering sorts a NULL field
+    SMALLEST, so an unfiltered NULL would win the negated argmax and a
+    broken row (failed decode score, missing caption length) would be
+    promoted to exemplar; a cluster whose every member has NULL quality is
+    dropped. Returns (cluster_col, exemplar_id, quality_col)."""
     nq = (-F.col(quality_col)).alias("nq")
     return (
-        members.groupBy(cluster_col)
+        members.where(F.col(quality_col).isNotNull())
+        .groupBy(cluster_col)
         .agg(F.min(F.struct(nq, F.col(id_col).alias("eid"))).alias("b"))
         .select(
             cluster_col,

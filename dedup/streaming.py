@@ -546,10 +546,20 @@ def _fuzzy_tier_body(spark, assigned, hit, cfg, band_state, sim_state, keyed_b, 
 
     def commit(batch_id: int, touched) -> None:
         tb, ts = touched
+        deferred: list[str] = []
         if tb:
-            band_state.commit(_capped_fold(seen_b, keyed_b, "caption", band_state), tb, batch_id)
+            # defer the band GC past the sim commit: the sim fold job may
+            # recompute persisted lineage (remap -> seen_b) through the
+            # superseded band dirs on executor loss — the same window the
+            # exact tier's deferred GC closes in _commit_batch
+            deferred = band_state.commit(
+                _capped_fold(seen_b, keyed_b, "caption", band_state), tb, batch_id,
+                gc=not ts,
+            )
         if ts:
             sim_state.commit(_capped_fold(seen_s, keyed_s, "phash", sim_state), ts, batch_id)
+        for old in deferred:
+            band_state.fs.delete(old, recursive=True)
 
     return remapped, (commit, (touched_b, touched_s), handles)
 

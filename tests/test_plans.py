@@ -145,7 +145,7 @@ def _arrow_udf_counts(p: str):
         # every invocation of the engine's underscore-named UDFs; nested
         # builtin calls (coalesce(, cast() count under their own names,
         # which no pin asserts on
-        c.update(re.findall(r"(_\w+)\(", args))
+        c.update(re.findall(r"(?<!\w)(_\w+)\(", args))
     return c
 
 

@@ -284,7 +284,9 @@ def test_select_exemplars_quality_argmax_no_window(spark):
     mem = spark.createDataFrame(
         [
             ("c1", "a", 10), ("c1", "b", 30), ("c1", "c", 30),  # tie b/c -> b
+            ("c1", "d", None),                                   # NULL loses, never wins
             ("c2", "z", 5),                                      # singleton
+            ("c3", "n", None),                                   # all-NULL cluster dropped
         ],
         "cluster_id string, image_id string, quality long",
     )
