@@ -1913,6 +1913,135 @@ def q50(spark, sf):
     return ivf_topk(e, probes, k=10)
 
 
+_Q55_SQL = """
+    WITH bench AS (
+      SELECT printf('b%05d', doc_id) AS bid,
+             string_split(array_to_string(
+               list_slice(string_split(lower(text), ' '), 5, 24), ' '), ' ') AS t
+      FROM documents WHERE doc_id < 40 AND text IS NOT NULL),
+    bp AS (
+      SELECT bid, unnest(generate_series(1, len(t) - 7)) AS i, t
+      FROM bench WHERE len(t) >= 8),
+    bg AS (
+      SELECT DISTINCT bid,
+             array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ') AS gram
+      FROM bp),
+    ct AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    cp AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t
+      FROM ct WHERE len(t) >= 8),
+    cg AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ') AS gram
+      FROM cp)
+    SELECT cg.doc_id,
+           CAST(COUNT(DISTINCT bg.bid) AS BIGINT) AS n_bench_hits,
+           CAST(COUNT(DISTINCT cg.gram) AS BIGINT) AS n_hit_ngrams,
+           MIN(bg.bid) AS first_bench
+    FROM cg JOIN bg USING (gram)
+    GROUP BY cg.doc_id
+    """
+
+
+@q("q55_ngram_decontamination", _Q55_SQL)
+def q55(spark, sf):
+    """Token-n-gram benchmark decontamination (verify.flag_contaminated_ngrams)
+    — the published LLM recipe (GPT-3 appendix C / Llama 2 flag a training doc
+    sharing any N word-gram with an eval benchmark), complementing q54's
+    character-substring criterion. The benchmark is 40 fragments cut from the
+    corpus itself (words 5-24 of each doc_id < 40), so every source doc is
+    contaminated by construction and any shared 8-word phrase elsewhere flags
+    too — the twin applies the identical lowercased whitespace-token 8-gram
+    overlap with a plain join.
+
+    Engine shape (the part the twin can't model): benchmark n-grams are a
+    DISTINCT broadcast set; corpus n-grams stream through the broadcast hash
+    join which IS the filter — nothing proportional to the corpus n-gram
+    stream is shuffled, and both sides are pure Catalyst array expressions
+    (zero UDFs; see ngram_set_expr)."""
+    from .verify import flag_contaminated_ngrams
+
+    d = _t(spark, sf, "documents")
+    bench = d.where((F.col("doc_id") < 40) & F.col("text").isNotNull()).select(
+        F.format_string("b%05d", F.col("doc_id")).alias("bench_id"),
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 5, 20), " ").alias("fragment"),
+    )
+    return flag_contaminated_ngrams(d.select("doc_id", "text"), bench, n=8)
+
+
+_Q56_SQL = """
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_word_frac,
+           CASE WHEN ng > 0 THEN
+             ROUND(1.0 - CAST((
+               SELECT COUNT(DISTINCT array_to_string(
+                        list_slice(t, CAST(i AS INT), CAST(i AS INT) + 4), ' '))
+               FROM unnest(generate_series(1, ng)) AS u(i)
+             ) AS DOUBLE) / ng, 4)
+           ELSE 0.0 END AS dup_5gram_frac,
+           CASE WHEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) <= 0.5
+                 AND (ng = 0 OR 1.0 - CAST((
+                       SELECT COUNT(DISTINCT array_to_string(
+                                list_slice(t, CAST(i AS INT), CAST(i AS INT) + 4), ' '))
+                       FROM unnest(generate_series(1, ng)) AS u(i)
+                     ) AS DOUBLE) / ng <= 0.05)
+                THEN 1 ELSE 0 END AS keep
+    FROM (
+      SELECT doc_id, t, CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END AS ng
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents WHERE text IS NOT NULL) x) y
+    """
+
+
+@q("q56_repetition_quality_filter", _Q56_SQL)
+def q56(spark, sf):
+    """Repetition-based quality filters — the Gopher/MassiveText rules (Rae
+    et al. 2021, table A1): fraction of duplicate words and fraction of
+    duplicate word-5-grams per document, plus the keep/drop decision
+    (dup_word_frac <= 0.5 AND dup_5gram_frac <= 0.05). Repetition is the
+    strongest single low-quality signal for LLM training text (boilerplate,
+    keyword stuffing, template spam).
+
+    Scale shape: every statistic is a PER-ROW Catalyst expression —
+    size(array_distinct(...)) over the token array and over the n-gram array
+    built by ngram_set_expr (transform over sequence) — so the whole operator
+    is one parquet scan inside whole-stage codegen: zero shuffles, zero UDFs,
+    trivially partition-parallel at any corpus size. Documents with under 5
+    words have no 5-grams: dup_5gram_frac is defined 0.0 (nothing repeats)."""
+    from .verify import ngram_set_expr
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    # staged projections so each expensive array expression MATERIALIZES once
+    # per row: CollapseProject re-inlines a column into every use site only
+    # when the expression is cheap, so keeping t / g5 / the raw fractions as
+    # intermediate columns pins transform+array_distinct to one evaluation
+    # each (a single flat select measured 5 inlined copies of the n-gram
+    # lambda in the plan — the same Catalyst double-eval family PLANS.md
+    # documents for Arrow UDFs)
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    arrs = toks.select(
+        "doc_id",
+        (1.0 - F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("dw"),
+        F.expr(ngram_set_expr("t", 5)).alias("g5"),
+    )
+    fracs = arrs.select(
+        "doc_id",
+        "dw",
+        F.when(
+            F.size("g5") > 0,
+            1.0 - F.size(F.array_distinct("g5")).cast("double") / F.size("g5"),
+        ).otherwise(F.lit(0.0)).alias("dg"),
+    )
+    return fracs.select(
+        "doc_id",
+        F.round("dw", 4).alias("dup_word_frac"),
+        F.round("dg", 4).alias("dup_5gram_frac"),
+        F.when((F.col("dw") <= 0.5) & (F.col("dg") <= 0.05), 1).otherwise(0).alias("keep"),
+    )
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

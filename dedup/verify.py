@@ -286,3 +286,66 @@ def flag_contaminated(
             F.min("fid").alias("first_bench"),
         )
     )
+
+
+def ngram_set_expr(tok_array_col: str, n: int) -> str:
+    """SQL expression: the array of word n-grams (space-rejoined) of a token
+    array column — pure Catalyst (transform over sequence + slice +
+    array_join), whole-stage codegen, no UDF. Rows with fewer than n tokens
+    yield an EMPTY array: sequence(1, size - n + 1) would count DOWN for a
+    negative span (Spark's sequence is bidirectional), so the short side is
+    guarded explicitly; slice(col, 1, 0) is the typed empty array<string>."""
+    return (
+        f"CASE WHEN size({tok_array_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tok_array_col}) - {n - 1}), "
+        f"i -> array_join(slice({tok_array_col}, i, {n}), ' ')) "
+        f"ELSE slice({tok_array_col}, 1, 0) END"
+    )
+
+
+def flag_contaminated_ngrams(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str = "bench_id", bench_text_col: str = "fragment",
+) -> DataFrame:
+    """Token-n-gram benchmark decontamination — the published LLM
+    training-set recipe (GPT-3 appendix C / Llama 2: flag a training doc
+    that shares any N-gram of words with an eval benchmark), complementing
+    flag_contaminated's character-substring criterion: word n-grams are
+    robust to the fragment being a non-contiguous re-wording boundary and
+    are the form eval suites actually publish overlap numbers in.
+
+    Scale shape: the benchmark side (eval suites: thousands of rows, not
+    billions) collapses to its DISTINCT n-gram set and BROADCASTS; the
+    corpus side explodes its n-grams and the broadcast hash join IS the
+    filter — non-matching grams die map-side, so nothing proportional to
+    the corpus n-gram stream is ever shuffled (the only exchange is the
+    per-doc rollup over surviving hits). Both sides are pure Catalyst
+    string/array expressions (ngram_set_expr): zero Python, zero UDFs.
+
+    Tokenization is lowercased whitespace split (the engine's q14/q45
+    convention); rows with under n tokens cannot be flagged by definition.
+    Returns one row per contaminated corpus doc:
+    (id_col, n_bench_hits, n_hit_ngrams, first_bench)."""
+
+    def grams(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
+        return (
+            df.where(F.col(txt).isNotNull())
+            .select(
+                F.col(idc).alias(out_id),
+                F.split(F.lower(F.col(txt)), " ").alias("_t"),
+            )
+            .select(out_id, F.explode(F.expr(ngram_set_expr("_t", n))).alias("gram"))
+        )
+
+    bg = grams(benchmark, bench_id_col, bench_text_col, "bid").distinct()
+    cg = grams(corpus, id_col, text_col, "cid")
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy(F.col("cid").alias(id_col))
+        .agg(
+            F.countDistinct("bid").alias("n_bench_hits"),
+            F.countDistinct("gram").alias("n_hit_ngrams"),
+            F.min("bid").alias("first_bench"),
+        )
+    )

@@ -164,3 +164,15 @@ def test_explode_udf_paths_are_single_eval(spark):
     assert c["_wf"] <= 2 and c["_minfp"] <= 2, c
     c = _arrow_udf_counts(_plan(spark, "q39_caption_simhash_pairs"))
     assert c["_sh"] == 2, c  # one per self-join side, not 4
+
+
+def test_repetition_filter_is_single_scan_no_shuffle(spark):
+    """q56's statistics are per-row Catalyst expressions: one scan, no
+    Exchange, no Python — and the staged projections pin the n-gram
+    transform lambda to ONE evaluation per row (a flat select measured 5
+    inlined copies via CollapseProject)."""
+    p = _plan(spark, "q56_repetition_quality_filter")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "codegen id" in p
+    assert p.count("transform(sequence") == 1

@@ -120,3 +120,72 @@ def test_flag_contaminated_two_table(spark):
         for r in flag_contaminated(corpus, bench, sa_min_container_len=2048).collect()
     }
     assert got == {(2, 1, "b1"), (3, 1, "b1")}
+
+
+# ------------------------------------------- token-n-gram decontamination
+
+
+def test_flag_contaminated_ngrams_planted_overlap(spark):
+    """A corpus doc sharing an 8-word run with a benchmark fragment is
+    flagged; docs with no shared 8-gram (or under 8 tokens) are not; the
+    rollup counts distinct benchmarks, distinct matched grams, and min
+    bench id."""
+    from dedup.verify import flag_contaminated_ngrams
+
+    frag = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words {frag} suffix words"),     # contains b00001's gram
+            (2, "totally different words with no overlap at all here"),
+            (3, "one two three four five six seven"),      # 7 tokens: no 8-gram
+            (4, f"{frag} nine"),                           # 2 grams of b00001
+            (5, None),                                     # NULL text ignored
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b00001", frag + " nine"), ("b00002", "unrelated benchmark fragment text")],
+        "bench_id string, fragment string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bench_hits"], r["n_hit_ngrams"], r["first_bench"])
+        for r in flag_contaminated_ngrams(corpus, bench, n=8).collect()
+    }
+    assert got == {1: (1, 1, "b00001"), 4: (1, 2, "b00001")}
+
+
+def test_flag_contaminated_ngrams_case_insensitive(spark):
+    from dedup.verify import flag_contaminated_ngrams
+
+    corpus = spark.createDataFrame(
+        [(1, "One Two THREE four five six seven EIGHT tail")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame(
+        [("b1", "one two three four five six seven eight")],
+        "bench_id string, fragment string",
+    )
+    assert flag_contaminated_ngrams(corpus, bench, n=8).count() == 1
+
+
+def test_ngram_set_expr_short_rows_empty(spark):
+    """Rows with fewer than n tokens must yield an EMPTY array (Spark's
+    sequence() counts DOWN on a negative span — the guard is load-bearing)."""
+    from dedup.verify import ngram_set_expr
+
+    df = spark.createDataFrame([("a b c",), ("a b c d",)], "text string").select(
+        F.split("text", " ").alias("t")
+    )
+    sizes = [r[0] for r in df.select(F.size(F.expr(ngram_set_expr("t", 4)))).collect()]
+    assert sizes == [0, 1]
+
+
+def test_ngram_decontamination_plan_is_jvm_broadcast(spark):
+    """Scale contract: the bench side is BROADCAST (the join is the filter —
+    no corpus-n-gram shuffle) and the whole plan is UDF-free."""
+    from dedup.verify import flag_contaminated_ngrams
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id int, text string")
+    bench = spark.createDataFrame([("b1", "a b c d e f g h")], "bench_id string, fragment string")
+    plan = flag_contaminated_ngrams(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
