@@ -360,14 +360,18 @@ def with_ivf_cells(
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         if nprobe == 1:
             return pd.Series([[int(i)] for i in assign_cells(Xn, C, GM, fanout)])
-        # nprobe > 1 is the PROBE side (query batches, small next to the
-        # corpus): the per-row loop is fine there, and every cell stays
-        # reachable (flat scoring — see the two_level docstring paragraph)
-        out = []
-        for xn in Xn:
-            d = C @ xn
-            idx = np.argsort(-d, kind="stable")[:nprobe]
-            out.append([int(i) for i in idx])
+        # nprobe > 1 assigns flat so every cell stays reachable (see the
+        # two_level docstring paragraph). Whole-batch gemm + row-wise
+        # argsort, chunked so the (rows x nlist) score block stays ~64 MB —
+        # the probe side is small by design, but semantic_dedup probes the
+        # CORPUS side multi-cell, where a per-row Python loop would be the
+        # hot path
+        step = max(1, (64 << 20) // max(4 * len(C), 1))
+        out: list = []
+        for s in range(0, len(Xn), step):
+            D = Xn[s:s + step] @ C.T
+            idx = np.argsort(-D, kind="stable", axis=1)[:, :nprobe]
+            out.extend([int(i) for i in row] for row in idx)
         return pd.Series(out)
 
     return df.withColumn("cells", _cells(F.col(vec_col)))
@@ -581,4 +585,101 @@ def lsh_near_pairs(
     # round only for emission — keeps borderline pairs identical
     return scored.where(F.col("_cos") >= F.lit(threshold)).select(
         "id_a", "id_b", F.round("_cos", 6).alias("cosine")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.9,
+    nlist: int | str = "auto", nprobe: int | str = 1, seed: int = 31337,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None, cfg=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of a training corpus by embedding similarity — cluster
+    the embedding space with a trained coarse quantizer, find WITHIN-CELL
+    pairs whose exact cosine clears `threshold`, connect them, and keep one
+    exemplar per semantic-duplicate group. The published recipe prunes
+    within k-means clusters only (cross-cell near-dups are the priced
+    recall trade, exactly like an IVF probe bound); precision is exact by
+    construction because every emitted pair is verified with the true
+    cosine — the same two-phase candidates->exact-verify contract as the
+    MinHash/pHash tiers.
+
+    nprobe is the recall dial: each row lands in its nprobe nearest cells
+    (published SemDeDup is nprobe=1 — within-cluster only), so a near-pair
+    straddling a cell boundary is still caught when either row's probe set
+    reaches the other's cell; candidate volume grows ~nprobe^2. On
+    clustered corpora (the embedding-model regime) nprobe=1 recall is
+    high; on near-random vectors it is proportional to the scanned
+    fraction — the same data-dependence ivf_topk documents (measured here:
+    nprobe/nlist 9% -> recall 0.29, 26% -> 1.0 at 500 rows) — so calibrate
+    nprobe against a recall sample. nprobe="auto" takes ivf_topk's
+    unstructured-data fallback (~30% of cells, floor 8); the q57 contract
+    gate pins >= 0.9 recall at that config on the near-random testdata,
+    the worst case.
+
+    Shape (the q33/batch_topk_lsh lesson): the within-cell self-join ships
+    (id, cell) ONLY — the vectors join back per COLLISION-SURVIVOR side
+    after the id_a < id_b cell join, and the exact cosine_expr runs once
+    per candidate, fused with the threshold filter. Cells come from the
+    same spherical-k-means quantizer as ivf_topk (bounded deterministic
+    training sample, nlist ~ sqrt(n)), so expected per-cell join volume is
+    ~(n/nlist)^2 = n per cell and the exchanges are keyed on the cell id.
+    A pathologically hot cell (collapsed embedding space) concentrates its
+    square in one task — the corpus-level defense is the same as the LSH
+    tiers' accounted caps: raise nlist or pre-collapse exact-duplicate
+    vectors (sha-equal bytes never reach the embedding stage in the full
+    pipeline).
+
+    Returns (id_col, cluster_id, keep): cluster_id is the component's
+    minimum id by STRING order (the CC contract — zero-pad numeric ids
+    upstream if numeric-min labeling matters), keep=1 marks the kept
+    exemplar (the cluster root; singletons keep themselves). Quality-based
+    exemplar choice composes via splits.select_exemplars on the returned
+    assignments instead of the keep flag."""
+    from .components import connected_components
+    from .config import DEFAULT as _CFG_DEFAULT
+
+    n = None
+    if nlist == "auto":
+        n = embeddings.count()
+        nlist = auto_nlist(n)
+    if nprobe == "auto":
+        import math
+
+        nprobe = min(nlist, max(8, math.ceil(0.3 * nlist)))
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, nlist, seed, id_col=id_col, vec_col=vec_col, n_rows=n
+        )
+    C = np.ascontiguousarray(centroids, dtype=np.float32)
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).dropDuplicates(["id"])
+    cells = with_ivf_cells(vecs, C, "vec", nprobe=nprobe).select(
+        "id", F.explode("cells").alias("cell")
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    cand = x.join(
+        y, (F.col("x.cell") == F.col("y.cell")) & (F.col("x.id") < F.col("y.id"))
+    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    if nprobe > 1:
+        # multi-probe rows can collide in several shared cells; dedup the
+        # slim id pairs BEFORE the vector join-backs and the exact cosine
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("_cos"))
+    )
+    pairs = scored.where(F.col("_cos") >= F.lit(threshold)).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    asg = connected_components(
+        pairs, vecs.select(F.col("id").alias("image_id")), cfg=cfg or _CFG_DEFAULT
+    )
+    return asg.select(
+        F.col("image_id").alias(id_col),
+        "cluster_id",
+        F.when(F.col("image_id") == F.col("cluster_id"), 1).otherwise(0).alias("keep"),
     )

@@ -298,3 +298,96 @@ def test_select_exemplars_quality_argmax_no_window(spark):
     )
     assert "Window" not in plan
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2  # partial+final
+
+
+# ----------------------------------------------------- SemDeDup operator
+
+
+def _pad_ids(df):
+    return df.select(
+        F.format_string("v%04d", F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+
+
+def test_semantic_dedup_single_cell_equals_bruteforce(spark, vec_df):
+    """nlist=1 puts every row in one cell — no pruning — so semantic_dedup
+    must EQUAL the brute-force all-pairs cosine>=t union-find exactly
+    (assignments AND keep flags). Ids zero-padded so the CC min-string
+    root is the numeric min."""
+    ensure_shipped(spark)
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in ann.semantic_dedup(_pad_ids(vec_df), threshold=0.98, nlist=1).collect()
+    }
+    rows = sorted(vec_df.collect(), key=lambda r: r["vec_id"])
+    ids = [f"v{r['vec_id']:04d}" for r in rows]
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    parent = list(range(len(ids)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j in zip(*np.nonzero(np.triu(cos >= 0.98, k=1))):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    want = {
+        ids[i]: (ids[find(i)], int(find(i) == i)) for i in range(len(ids))
+    }
+    assert got == want
+    # the fixture plants 40 near-dup pairs: the oracle itself is non-trivial
+    assert sum(k for _, k in want.values()) == 40
+
+
+def test_semantic_dedup_clustered_refines_then_recovers(spark, clustered_df):
+    """The embedding-model-shaped corpus, both probe regimes. nprobe=1 (the
+    published SemDeDup recipe): every emitted cluster is PURE (a subset of
+    one planted group — under-merge is the only legal error; a planted
+    center whose members straddle a k-means cell boundary stays split:
+    measured 23 clusters here). nprobe=2: one extra probe heals every
+    boundary split — exactly the 20 planted groups of 30, one kept
+    exemplar each, rooted at the group min id."""
+    ensure_shipped(spark)
+
+    def run(nprobe):
+        out = ann.semantic_dedup(
+            _pad_ids(clustered_df), threshold=0.9, nlist=20, nprobe=nprobe
+        ).collect()
+        assert len(out) == 600
+        groups: dict = {}
+        for r in out:
+            groups.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in groups.items():
+            # purity (refinement): planted ids are ci*100+m -> one center
+            assert len({r["vec_id"][:3] for r in members}) == 1
+            assert sorted(r["vec_id"] for r in members)[0] == cid
+            assert sum(r["keep"] for r in members) == 1
+        return groups
+
+    g1 = run(1)
+    assert 20 <= len(g1) <= 30  # under-merge only, bounded split count
+    g2 = run(2)
+    assert len(g2) == 20
+    assert all(len(m) == 30 for m in g2.values())
+
+
+def test_with_ivf_cells_multiprobe_matches_per_row_argsort(spark, clustered_df):
+    """The chunked whole-batch nprobe>1 assignment must equal the naive
+    per-row argsort (order included) — it feeds both ivf_topk probes and
+    semantic_dedup's multi-probe corpus side."""
+    cents = ann.ivf_centroids(clustered_df, nlist=16)
+    C = np.ascontiguousarray(cents, dtype=np.float32)
+    got = {
+        r["vec_id"]: r["cells"]
+        for r in ann.with_ivf_cells(clustered_df, cents, nprobe=5).collect()
+    }
+    for r in clustered_df.collect():
+        x = np.asarray(r["embedding"], dtype=np.float32)
+        xn = x / max(np.linalg.norm(x), 1e-12)
+        want = np.argsort(-(C @ xn), kind="stable")[:5].tolist()
+        assert got[r["vec_id"]] == want
