@@ -46,6 +46,11 @@ HEADLINE = [
     # drain isn't a per-query wall)
     "q50_ann_ivf_topk",
     "q53_cluster_exemplars",
+    # late round-4 additions (token-n-gram decontamination + repetition
+    # quality filters; q57 SemDeDup stays contract-only — its ~35s sf0.1
+    # profile is documented in BENCH.md and would dominate the wall)
+    "q55_ngram_decontamination",
+    "q56_repetition_quality_filter",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "60000"))

@@ -667,17 +667,37 @@ def semantic_dedup(
         # multi-probe rows can collide in several shared cells; dedup the
         # slim id pairs BEFORE the vector join-backs and the exact cosine
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    scored = (
+    # cosine fused into the WHERE: semantic_dedup only needs the pair set,
+    # and a filter on a projected alias would push THROUGH the projection
+    # and inline the (interpreted, per-element) aggregate twice per
+    # candidate — filter + re-projection (the r04 double-eval family)
+    pairs = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
-        .select("id_a", "id_b", cosine_expr("va", "vb").alias("_cos"))
+        .where(cosine_expr("va", "vb") >= F.lit(threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .persist()
     )
-    pairs = scored.where(F.col("_cos") >= F.lit(threshold)).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    asg = connected_components(
-        pairs, vecs.select(F.col("id").alias("image_id")), cfg=cfg or _CFG_DEFAULT
-    )
+    # persist + pre-computed gate: connected_components otherwise re-derives
+    # the full candidate+verify lineage once per internal action (gate
+    # aggregate, then the edge collect / distinct) — measured 3x the whole
+    # pipeline cost at sf0.1. The verified pair set is tiny next to the
+    # candidate stream, so caching it is the semantic analog of the batch
+    # pipeline committing its pairs stage before CC. One aggregate job fills
+    # the cache and yields the gate scalars; both CC paths detach from the
+    # input lineage before returning (driver collect / localCheckpoint), so
+    # the handle is released right after.
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("src") + F.length("dst") + F.lit(48)), F.lit(0)).alias("b"),
+    ).first()
+    try:
+        asg = connected_components(
+            pairs, vecs.select(F.col("id").alias("image_id")),
+            cfg=cfg or _CFG_DEFAULT, pre_gate=(int(g["n"]), int(g["b"])),
+        )
+    finally:
+        pairs.unpersist()
     return asg.select(
         F.col("image_id").alias(id_col),
         "cluster_id",
