@@ -298,7 +298,11 @@ def main():
         gate_failures = run_gates(spark, sf_dir, gated)
         n_gates = sum(
             q in gated
-            for q in ("q39_caption_simhash_pairs", "q33_ann_lsh_topk", "q26_minhash_candidates")
+            for q in (
+                "q39_caption_simhash_pairs", "q33_ann_lsh_topk",
+                "q50_ann_ivf_topk", "q57_semantic_dedup",
+                "q26_minhash_candidates",
+            )
         )
         if n_gates:
             print(f"{n_gates - len(gate_failures)}/{n_gates} brute-force gates ok")
