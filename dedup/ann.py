@@ -366,7 +366,12 @@ def with_ivf_cells(
         # the probe side is small by design, but semantic_dedup probes the
         # CORPUS side multi-cell, where a per-row Python loop would be the
         # hot path
-        step = max(1, (64 << 20) // max(4 * len(C), 1))
+        # budget covers the float32 scores PLUS the full-width int64 argsort
+        # output and the -D negation (16 B/element, review finding); full
+        # argsort (not argpartition) keeps boundary ties breaking to the
+        # lowest cell id exactly like the per-row route — argpartition's
+        # tie SELECTION at the nprobe boundary is unspecified
+        step = max(1, (64 << 20) // max(16 * len(C), 1))
         out: list = []
         for s in range(0, len(Xn), step):
             D = Xn[s:s + step] @ C.T
@@ -421,7 +426,12 @@ def ivf_topk(
     from pyspark.sql import Window
 
     n = None
-    if nlist == "auto":
+    if centroids is not None:
+        # pre-trained quantizer: size the auto nprobe fraction against the
+        # REAL cell count, not against what auto_nlist would have trained
+        # (same review finding as semantic_dedup)
+        nlist = len(centroids)
+    elif nlist == "auto":
         n = embeddings.count()  # counted once; forwarded to training
         nlist = auto_nlist(n)
     if nprobe == "auto":
@@ -641,7 +651,14 @@ def semantic_dedup(
     from .config import DEFAULT as _CFG_DEFAULT
 
     n = None
-    if nlist == "auto":
+    if centroids is not None:
+        # pre-trained quantizer: the REAL cell count is len(centroids) — the
+        # auto nprobe fraction must size against it, not against what
+        # auto_nlist would have trained (review finding: a 1000-cell
+        # quantizer over a 2k-row corpus would otherwise probe 14 cells =
+        # 1.4% instead of the documented ~30%)
+        nlist = len(centroids)
+    elif nlist == "auto":
         n = embeddings.count()
         nlist = auto_nlist(n)
     if nprobe == "auto":
@@ -656,9 +673,13 @@ def semantic_dedup(
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).dropDuplicates(["id"])
+    # persist the slim exploded cells: the self-join's two sides would
+    # otherwise each re-run the assignment UDF (a full (n x nlist) gemm +
+    # argsort per row — the dominant pre-pair cost at multi-probe configs)
+    # plus the upstream scan/dropDuplicates through their own lineage
     cells = with_ivf_cells(vecs, C, "vec", nprobe=nprobe).select(
         "id", F.explode("cells").alias("cell")
-    )
+    ).persist()
     x, y = cells.alias("x"), cells.alias("y")
     cand = x.join(
         y, (F.col("x.cell") == F.col("y.cell")) & (F.col("x.id") < F.col("y.id"))
@@ -687,16 +708,20 @@ def semantic_dedup(
     # the cache and yields the gate scalars; both CC paths detach from the
     # input lineage before returning (driver collect / localCheckpoint), so
     # the handle is released right after.
-    g = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.length("src") + F.length("dst") + F.lit(48)), F.lit(0)).alias("b"),
-    ).first()
     try:
+        g = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("src") + F.length("dst") + F.lit(48)), F.lit(0)).alias("b"),
+        ).first()
         asg = connected_components(
             pairs, vecs.select(F.col("id").alias("image_id")),
             cfg=cfg or _CFG_DEFAULT, pre_gate=(int(g["n"]), int(g["b"])),
         )
     finally:
+        # pairs cache filled by the gate aggregate (or the job failed):
+        # the candidate lineage — and with it the cells cache — is never
+        # re-read either way
+        cells.unpersist()
         pairs.unpersist()
     return asg.select(
         F.col("image_id").alias(id_col),

@@ -2058,8 +2058,8 @@ def q57(spark, sf):
     REFINEMENT of the brute-force all-pairs cosine>=0.4 components (every
     emitted pair is verified with the true cosine, so a cross-oracle merge
     is impossible), and pair recall vs that oracle >= 0.9 at the registered
-    config (measured 1.0 at sf0.01, 0.98 at sf0.1). Ids are zero-padded so
-    the CC min-string root == min-numeric root."""
+    config (measured 1.0000 at BOTH sf0.01 and sf0.1). Ids are zero-padded
+    so the CC min-string root == min-numeric root."""
     from .ann import semantic_dedup
     from .deploy import ensure_shipped
 

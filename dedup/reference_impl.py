@@ -168,3 +168,32 @@ def oracle_clusters(
         uf.union(a, b)
     # path-compress to true min root: UnionFind.union keeps min as root already
     return {r["image_id"]: uf.find(r["image_id"]) for r in rows}
+
+
+def cosine_cluster_oracle(
+    ids: list[str], X: np.ndarray, threshold: float
+) -> tuple[dict[str, str], list[tuple[int, int]]]:
+    """Brute-force oracle for semantic dedup (ann.semantic_dedup): all-pairs
+    cosine >= threshold -> union-find components rooted at the min id (ids
+    must be ordered so positional min == string min, e.g. zero-padded).
+    Returns (id -> root id, list of qualifying index pairs i<j). Shared by
+    the in-contract q57 gate (tools/check_contract.py) and the nlist=1
+    equality pytest so the two checks can never drift apart."""
+    m = np.asarray(X, dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    cos = m @ m.T
+    ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+    parent = list(range(len(ids)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    pairs = list(zip(ii.tolist(), jj.tolist()))
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    return {ids[i]: ids[find(i)] for i in range(len(ids))}, pairs

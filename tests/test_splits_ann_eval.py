@@ -315,30 +315,16 @@ def test_semantic_dedup_single_cell_equals_bruteforce(spark, vec_df):
     (assignments AND keep flags). Ids zero-padded so the CC min-string
     root is the numeric min."""
     ensure_shipped(spark)
+    from dedup.reference_impl import cosine_cluster_oracle
+
     got = {
         r["vec_id"]: (r["cluster_id"], r["keep"])
         for r in ann.semantic_dedup(_pad_ids(vec_df), threshold=0.98, nlist=1).collect()
     }
     rows = sorted(vec_df.collect(), key=lambda r: r["vec_id"])
     ids = [f"v{r['vec_id']:04d}" for r in rows]
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    cos = m @ m.T
-    parent = list(range(len(ids)))
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for i, j in zip(*np.nonzero(np.triu(cos >= 0.98, k=1))):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[max(ri, rj)] = min(ri, rj)
-    want = {
-        ids[i]: (ids[find(i)], int(find(i) == i)) for i in range(len(ids))
-    }
+    roots, _ = cosine_cluster_oracle(ids, [r["embedding"] for r in rows], 0.98)
+    want = {i: (r, int(r == i)) for i, r in roots.items()}
     assert got == want
     # the fixture plants 40 near-dup pairs: the oracle itself is non-trivial
     assert sum(k for _, k in want.values()) == 40

@@ -160,49 +160,44 @@ def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
     # ---- q57: refinement exactness + pair recall vs brute-force CC --------
     if "q57_semantic_dedup" in qs:
         t0 = time.time()
+        from dedup.reference_impl import cosine_cluster_oracle
+
         emb = sorted(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .select("vec_id", "embedding").collect()
         )
         ids = [f"v{r['vec_id']:09d}" for r in emb]
-        m = np.array([r["embedding"] for r in emb], dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = m @ m.T
-        ii, jj = np.nonzero(np.triu(cos >= 0.4, k=1))
-        parent = list(range(len(ids)))
-
-        def find(a: int) -> int:
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
-        oracle = {ids[i]: ids[find(i)] for i in range(len(ids))}
+        oracle, pairs_idx = cosine_cluster_oracle(
+            ids, [r["embedding"] for r in emb], 0.4
+        )
         got = {
             r["vec_id"]: (r["cluster_id"], r["keep"])
             for r in qs["q57_semantic_dedup"](spark, sf_dir).collect()
         }
-        # refinement: every engine cluster's members share ONE oracle root
-        # (precision is exact by in-join cosine verification, so a merge the
-        # oracle lacks is a bug, not an approximation)
-        clusters: dict[str, set] = {}
-        for vid, (cid, _) in got.items():
-            clusters.setdefault(cid, set()).add(oracle[vid])
-        refinement = all(len(s) == 1 for s in clusters.values())
-        # keep flag marks exactly the cluster roots
-        keeps_ok = all((vid == cid) == bool(k) for vid, (cid, k) in got.items())
-        rec = [got[ids[i]][0] == got[ids[j]][0] for i, j in zip(ii.tolist(), jj.tolist())]
-        recall = (sum(rec) / len(rec)) if rec else 1.0
-        ok = refinement and keeps_ok and recall >= 0.9 and len(got) == len(ids)
-        print(f"{'ok  ' if ok else 'FAIL'} gate q57: refinement={refinement} "
-              f"keep_flags={keeps_ok} recall={recall:.4f} "
-              f"({sum(rec)}/{len(rec)} oracle pairs) [{time.time() - t0:.1f}s]")
-        if not ok:
+        # id-set equality FIRST: a dropped/renamed row must print FAIL, not
+        # crash the harness with a KeyError inside the lookups below
+        if set(got) != set(ids):
+            print(f"FAIL gate q57: id set mismatch ({len(got)} vs {len(ids)} rows) "
+                  f"[{time.time() - t0:.1f}s]")
             failures.append("gate_q57")
+        else:
+            # refinement: every engine cluster's members share ONE oracle
+            # root (precision is exact by in-join cosine verification, so a
+            # merge the oracle lacks is a bug, not an approximation)
+            clusters: dict[str, set] = {}
+            for vid, (cid, _) in got.items():
+                clusters.setdefault(cid, set()).add(oracle[vid])
+            refinement = all(len(s) == 1 for s in clusters.values())
+            # keep flag marks exactly the cluster roots
+            keeps_ok = all((vid == cid) == bool(k) for vid, (cid, k) in got.items())
+            rec = [got[ids[i]][0] == got[ids[j]][0] for i, j in pairs_idx]
+            recall = (sum(rec) / len(rec)) if rec else 1.0
+            ok = refinement and keeps_ok and recall >= 0.9
+            print(f"{'ok  ' if ok else 'FAIL'} gate q57: refinement={refinement} "
+                  f"keep_flags={keeps_ok} recall={recall:.4f} "
+                  f"({sum(rec)}/{len(rec)} oracle pairs) [{time.time() - t0:.1f}s]")
+            if not ok:
+                failures.append("gate_q57")
 
     # ---- q26: candidate recall vs exact Jaccard ---------------------------
     if "q26_minhash_candidates" in qs:
