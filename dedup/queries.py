@@ -2010,35 +2010,11 @@ def q56(spark, sf):
     is one parquet scan inside whole-stage codegen: zero shuffles, zero UDFs,
     trivially partition-parallel at any corpus size. Documents with under 5
     words have no 5-grams: dup_5gram_frac is defined 0.0 (nothing repeats)."""
-    from .verify import ngram_set_expr
+    from .quality import repetition_stats
 
-    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
-    # staged projections so each expensive array expression MATERIALIZES once
-    # per row: CollapseProject re-inlines a column into every use site only
-    # when the expression is cheap, so keeping t / g5 / the raw fractions as
-    # intermediate columns pins transform+array_distinct to one evaluation
-    # each (a single flat select measured 5 inlined copies of the n-gram
-    # lambda in the plan — the same Catalyst double-eval family PLANS.md
-    # documents for Arrow UDFs)
-    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-    arrs = toks.select(
-        "doc_id",
-        (1.0 - F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("dw"),
-        F.expr(ngram_set_expr("t", 5)).alias("g5"),
-    )
-    fracs = arrs.select(
-        "doc_id",
-        "dw",
-        F.when(
-            F.size("g5") > 0,
-            1.0 - F.size(F.array_distinct("g5")).cast("double") / F.size("g5"),
-        ).otherwise(F.lit(0.0)).alias("dg"),
-    )
-    return fracs.select(
-        "doc_id",
-        F.round("dw", 4).alias("dup_word_frac"),
-        F.round("dg", 4).alias("dup_5gram_frac"),
-        F.when((F.col("dw") <= 0.5) & (F.col("dg") <= 0.05), 1).otherwise(0).alias("keep"),
+    return repetition_stats(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        ngram_n=5, max_dup_word_frac=0.5, max_dup_ngram_frac=0.05,
     )
 
 
