@@ -80,9 +80,11 @@ def main() -> None:
 
             bench = spark.read.parquet(args.benchmark)
             flagged = flag_contaminated_ngrams(kept, bench, n=args.ngram_n)
-            kept = kept.join(
-                F.broadcast(flagged.select("doc_id")), "doc_id", "left_anti"
-            )
+            # no broadcast hint: the flagged set is usually tiny (AQE will
+            # broadcast it), but an adversarially contaminated corpus can
+            # flag billions of rows — a forced broadcast would OOM the
+            # driver exactly when decontamination matters most
+            kept = kept.join(flagged.select("doc_id"), "doc_id", "left_anti")
             metrics["after_decontamination"] = kept.count()
 
         # ---- 3. semantic dedup (keep one exemplar per near-dup group)
