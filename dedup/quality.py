@@ -59,3 +59,34 @@ def repetition_stats(
             (F.col("dw") <= max_dup_word_frac) & (F.col("dg") <= max_dup_ngram_frac), 1
         ).otherwise(0).alias("keep"),
     )
+
+
+# conservative, engine-portable PII patterns (no backreferences/lookarounds:
+# identical semantics under Java regex — Spark — and RE2 — DuckDB; verified
+# value-for-value by the q58 oracle twin, which renders its SQL from these
+# SAME constants so the two sides cannot drift)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """PII redaction — the C4/RefinedWeb curation step: replace emails and
+    phone numbers with typed placeholder tokens, and count what was
+    redacted (the counts feed quality dashboards and drop-thresholds —
+    a doc that is mostly PII is usually a directory page, not prose).
+
+    Per-row Catalyst regex expressions (whole-stage codegen): one scan,
+    zero shuffles, zero UDFs — the same scale shape as repetition_stats.
+    Returns (id_col, redacted, n_emails, n_phones) for non-NULL-text
+    rows."""
+    t = F.col(text_col)
+    return df.where(t.isNotNull()).select(
+        id_col,
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)).cast("int").alias("n_phones"),
+    )

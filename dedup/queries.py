@@ -1884,6 +1884,60 @@ def q54(spark, sf):
     return flag_contaminated(d.select("doc_id", "text"), bench)
 
 
+def _q58_sql() -> str:
+    # rendered from the SAME regex constants the Spark operator compiles
+    # (the q37 anti-drift pattern): an edit to a pattern can never
+    # desynchronize the oracle twin. The patterns contain no single quotes;
+    # DuckDB non-E string literals keep backslashes verbatim.
+    from .quality import EMAIL_RE, PHONE_RE
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-123-4567 today' ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones
+    FROM corpus
+    """
+
+
+@q("q58_pii_redaction", _q58_sql())
+def q58(spark, sf):
+    """PII redaction (quality.redact_pii) — the C4/RefinedWeb curation
+    step: emails/phones replaced with typed placeholders + per-doc counts.
+    The corpus plants deterministic PII (an email on every 7th doc, a phone
+    on every 11th) since the synthetic documents contain none; both sides
+    apply the identical conservative patterns (no backreferences, so Java
+    regex and RE2 agree — the twin's SQL renders from the same constants).
+    Per-row Catalyst regex: one scan, zero shuffles, zero UDFs."""
+    from .quality import redact_pii
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567 today"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted, "doc_id", "text")
+
+
 @q("q50_ann_ivf_topk", None)
 def q50(spark, sf):
     """IVF-Flat batch ANN top-k (ann.ivf_topk) — the trained-quantizer

@@ -79,3 +79,36 @@ def test_repetition_stats_matches_python_oracle(spark):
         uw = 1.0 - len(set(toks)) / len(toks)
         ug = (1.0 - len(set(grams)) / len(grams)) if grams else 0.0
         assert r["keep"] == int(uw <= 0.4 and ug <= 0.1), repr(t)
+
+
+def test_redact_pii_semantics(spark):
+    from dedup.quality import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and al.ice+x@sub.domain.org end"),
+            (2, "call 555-123-4567 or 555-000-1111."),
+            (3, "no pii here, 5551234567 is not formatted"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert 4 not in got  # NULL text excluded, not scored
+    assert got[1]["redacted"] == "mail <EMAIL> and <EMAIL> end"
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
+    assert got[2]["redacted"] == "call <PHONE> or <PHONE>."
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
+    assert got[3]["redacted"] == got[3]["redacted"] == df.collect()[2]["text"]
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (0, 0)
+
+
+def test_redact_pii_plan_single_scan(spark):
+    """Same scale contract as repetition_stats: per-row regex expressions —
+    one scan, no Exchange, no Python."""
+    from dedup.quality import redact_pii
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
