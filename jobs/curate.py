@@ -52,6 +52,9 @@ def main() -> None:
                     help="semantic-dedup probe count: an int or 'auto' (~30%% of "
                          "cells — the unstructured-embedding fallback; 1 is the "
                          "published SemDeDup regime for clustered corpora)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="replace emails/phones in surviving docs with typed "
+                         "placeholders (quality.redact_pii) and carry the counts")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -114,6 +117,16 @@ def main() -> None:
                 "doc_id", "left",
             )
             metrics["after_semantic_dedup"] = kept.count()
+
+        # ---- 4. PII redaction (a transformation of the survivors, not a
+        # filter — runs last so it never redacts rows another stage drops)
+        if args.redact_pii:
+            from dedup.quality import redact_pii
+
+            red = redact_pii(kept.select("doc_id", "text"), "doc_id", "text")
+            kept = kept.drop("text").join(
+                red.withColumnRenamed("redacted", "text"), "doc_id"
+            )
 
         kept.write.mode("overwrite").parquet(args.output)
         stage_counts = [v for k, v in metrics.items() if k.startswith("after_")]

@@ -19,8 +19,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _write(tmp_path):
     docs, emb = [], []
     for i in range(10):  # 10 clean docs, every word unique per doc (so the
-        # benchmark fragment cut from doc 3 flags doc 3 only)
-        docs.append((i, " ".join(f"w{i}t{j}" for j in range(13))))
+        # benchmark fragment cut from doc 3 flags doc 3 only); doc 5 carries
+        # a planted email for the --redact-pii stage
+        extra = " mail w5pii@example.com end" if i == 5 else ""
+        docs.append((i, " ".join(f"w{i}t{j}" for j in range(13)) + extra))
         v = [0.0] * 8
         v[i % 8] = 1.0
         v[(i + 3) % 8] = 0.5 if i >= 8 else 0.0  # ids 8,9 distinct from 0,1
@@ -53,7 +55,7 @@ def test_curate_job_end_to_end(tmp_path):
         [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
          "--documents", d, "--output", out, "--benchmark", b,
          "--embeddings", e, "--cores", "4",
-         "--cosine-threshold", "0.95", "--nprobe", "auto"],
+         "--cosine-threshold", "0.95", "--nprobe", "auto", "--redact-pii"],
         capture_output=True, text=True, timeout=420, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -68,3 +70,7 @@ def test_curate_job_end_to_end(tmp_path):
     assert kept == [0, 1, 4, 5, 6, 7, 8, 9]    # min-id exemplar (1) kept, 2 dropped
     # quality stats ride along; every kept exemplar carries its cluster id
     assert "dup_word_frac" in got and "cluster_id" in got
+    # --redact-pii: doc 5's planted email is a placeholder in the output
+    by_id = dict(zip(got["doc_id"], got["text"]))
+    assert "<EMAIL>" in by_id[5] and "@example.com" not in by_id[5]
+    assert dict(zip(got["doc_id"], got["n_emails"]))[5] == 1
