@@ -79,14 +79,18 @@ def redact_pii(
 
     Per-row Catalyst regex expressions (whole-stage codegen): one scan,
     zero shuffles, zero UDFs — the same scale shape as repetition_stats.
-    Returns (id_col, redacted, n_emails, n_phones) for non-NULL-text
-    rows."""
+    Returns (id_col, redacted, n_emails, n_phones) for non-NULL-text rows.
+
+    Counts are PLACEHOLDER counts, not raw-text match counts: redaction is
+    sequential (emails first), so phones are counted on the email-redacted
+    intermediate — a phone-shaped local part consumed by the email
+    replacement ('555-123-4567@example.com') contributes to n_emails only,
+    and n_phones always equals the number of <PHONE> tokens emitted."""
     t = F.col(text_col)
+    emailless = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return df.where(t.isNotNull()).select(
         id_col,
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ).alias("redacted"),
-        F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)).cast("int").alias("n_emails"),
-        F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)).cast("int").alias("n_phones"),
+        F.regexp_replace(emailless, PHONE_RE, "<PHONE>").alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(emailless, F.lit(PHONE_RE), 0)).cast("int").alias("n_phones"),
     )

@@ -976,40 +976,90 @@ def q37(spark, sf):
     )
 
 
-@q("q39_caption_simhash_pairs", None)
+_Q39_SQL = """
+    WITH corpus AS (
+      SELECT printf('d%07d', doc_id) AS rep_id, lower(text) AS t
+      FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT printf('d%07d', doc_id + 100000), lower(text || ' near dup tail')
+      FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT rep_id, t FROM corpus WHERE length(t) >= 4),
+    grams AS (
+      SELECT rep_id,
+             CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 4)), 1, 15))
+                  AS BIGINT) AS h
+      FROM d, unnest(generate_series(1, length(t) - 3)) AS u(i)),
+    votes AS (
+      SELECT rep_id, b,
+             CASE WHEN SUM(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1
+                               THEN 1 ELSE -1 END) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM grams, unnest(generate_series(0, 59)) AS v(b)
+      GROUP BY rep_id, b),
+    sh AS (SELECT rep_id, CAST(SUM(bit) AS BIGINT) AS ph FROM votes GROUP BY rep_id)
+    SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.rep_id < b.rep_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 6
+    """
+
+
+@q("q39_caption_simhash_pairs", _Q39_SQL)
 def q39(spark, sf):
-    """SimHash near-dup pairs over documents: 64-bit sign-sum over char
-    4-grams (signatures.simhash64), chunk-pair LSH + exact Hamming verify —
-    the caption-side SimHash tier (rows-only; the signature kernel is numpy,
-    not ANSI-SQL).
+    """SimHash near-dup pairs over a caption corpus with planted near-dups:
+    60-bit SimHash (majority-vote sign-sum over char 4-grams, each gram
+    hashed to 60 bits via md5), chunk-pair LSH (lsh.phash_candidates) +
+    exact inline Hamming verify — the caption-side SimHash tier (C2-image
+    shape on text; reference analog eridu/etl/compare.py pairwise loop).
 
-    Assertions carried by tests instead of an oracle: chunk-PAIR pigeonhole
-    keys make candidate recall EXACTLY 1.0 for Hamming <= 6 (not
-    probabilistic), so the output EQUALS the brute-force all-pairs Hamming
-    filter — asserted set-for-set against a python oracle in
-    tests/test_lsh_exactness.py::test_phash_candidates_equal_brute_force."""
-    from pyspark.sql import types as T
+    Cross-engine hash recipe proven by q52: Spark conv(md5-hex[1:15],16,10)
+    == DuckDB CAST('0x'||substr(md5,1,15) AS BIGINT), so both engines derive
+    identical 60-bit gram hashes; the sign-sum tie rule (2*ones >= n sets
+    the bit) is mirrored as SUM(+1/-1) >= 0. The DuckDB twin computes the
+    SAME signatures then takes the brute-force ALL-PAIRS Hamming<=6 join —
+    so the driver's hash gate doubles as the recall proof: chunk-PAIR
+    pigeonhole keys (<=6 flipped bits touch <=6 of 8 chunks, leaving a
+    shared chunk pair) make candidate recall EXACTLY 1.0, hence set
+    equality with the oracle is structural, not probabilistic. The numpy
+    simhash64 production kernel keeps its own set-exactness test in
+    tests/test_lsh_exactness.py::test_phash_candidates_equal_brute_force.
 
-    from . import lsh, signatures
-    from .deploy import ensure_shipped
+    Scale shape: signature construction is a pure per-row Catalyst
+    expression (transform/filter/aggregate over the gram array — zero UDFs,
+    zero shuffles, whole-stage codegen); the pair stage is the production
+    chunk-pair LSH join, never all-pairs. The all-pairs form exists only on
+    the DuckDB oracle side, where 1,000 rows is the point."""
+    from . import lsh
 
-    ensure_shipped(spark)
-
-    @F.pandas_udf(T.LongType())
-    def _sh(s: pd.Series) -> pd.Series:
-        import numpy as np
-
-        return pd.Series(
-            [np.uint64(signatures.simhash64(t or "")).astype(np.int64) for t in s]
-        )
-
-    # deterministic in fact; the mark is a pushdown barrier — without it the
-    # self-join's key/filter re-inline the UDF to 4 evals over documents
-    # (PLANS.md r04 double-eval audit; 2 = one per self-join side)
-    _sh = _sh.asNondeterministic()
-
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("string").alias("rep_id"), _sh(F.col("text")).alias("phash")
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    base = docs.select(
+        F.format_string("d%07d", F.col("doc_id")).alias("rep_id"),
+        F.lower(F.col("text")).alias("t"),
+    )
+    mut = docs.select(
+        F.format_string("d%07d", F.col("doc_id") + 100000).alias("rep_id"),
+        F.lower(F.concat(F.col("text"), F.lit(" near dup tail"))).alias("t"),
+    )
+    corpus = base.unionAll(mut).where(F.length("t") >= 4)
+    grams = (
+        "transform(sequence(1, length(t) - 3), i -> "
+        "CAST(conv(substring(md5(substring(t, i, 4)), 1, 15), 16, 10) AS BIGINT))"
+    )
+    # single pass over the gram array (aggregate with a finish lambda): the
+    # hs column is referenced exactly ONCE, so Catalyst cannot re-inline the
+    # md5 gram hashing per bit position (the 60x-recompute trap — measured
+    # 35s -> 2s on 1k rows when the 60-filter formulation was replaced)
+    phash = (
+        "aggregate(hs, named_struct('cnt', array_repeat(0, 60), 'n', 0), "
+        "(acc, h) -> named_struct('cnt', zip_with(acc.cnt, sequence(0, 59), "
+        "(c, b) -> c + CAST(shiftright(h, b) & CAST(1 AS BIGINT) AS INT)), 'n', acc.n + 1), "
+        "acc -> aggregate(zip_with(acc.cnt, sequence(0, 59), "
+        "(c, b) -> IF(2 * c >= acc.n, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a | x))"
+    )
+    d = corpus.withColumn("hs", F.expr(grams)).select(
+        "rep_id", F.expr(phash).alias("phash")
     )
     return lsh.phash_candidates(d, "rep_id", "phash").withColumnsRenamed({"hd": "hamming"})
 
@@ -1905,7 +1955,9 @@ def _q58_sql() -> str:
            regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                           '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
            CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones
+           CAST(len(regexp_extract_all(
+                regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PHONE_RE}')) AS INT) AS n_phones
     FROM corpus
     """
 
@@ -2100,9 +2152,86 @@ def q57(spark, sf):
     return semantic_dedup(e, threshold=0.4, nprobe="auto")
 
 
+def _q59_sql() -> str:
+    from .augment import disco_pairs_oracle_sql
+
+    return disco_pairs_oracle_sql(
+        """
+        SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ')
+               || ' ' ||
+               (['inc', 'ltd', 'gmbh', 'llc', 'ag', 'plc', 'sa', 'oy'])
+                 [CAST(doc_id % 8 AS INT) + 1] AS name
+        FROM documents WHERE text IS NOT NULL
+        """
+    )
+
+
+@q("q59_disco_augment_pairs", _q59_sql())
+def q59(spark, sf):
+    """Disco-style labeled pair augmentation (augment.disco_pairs; reference
+    /root/reference/eridu/etl/disco.py:11-187): synthetic company names are
+    built from documents (first 3 words + a corporate ending), then the
+    generator strips the ending to a basename and emits labeled MATCH /
+    NON-MATCH pairs by deterministic corporate-ending swaps, with the full
+    15-column reference pairs schema (names, norms, OpenRefine-style
+    fingerprints, levenshtein distances, score, source).
+
+    The reference drives every choice from a seeded RNG; this engine drives
+    them from md5-bit-fields of the basename, so the SAME recipe runs as
+    pure SQL on DuckDB (disco_pairs_oracle_sql) and the driver's hash gate
+    checks the generator end-to-end — strip, dedup, branch selection, term
+    indexing, norms, fingerprints, and levenshtein all agree bit-for-bit.
+
+    Scale shape: one documents scan, per-row codegen expressions, one
+    DISTINCT on basename (the only shuffle); no UDFs, joins, or collects."""
+    from .augment import disco_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    names = docs.select(
+        F.expr(
+            "concat(array_join(slice(split(lower(text), ' '), 1, 3), ' '), ' ', "
+            "element_at(array('inc', 'ltd', 'gmbh', 'llc', 'ag', 'plc', 'sa', 'oy'), "
+            "CAST(doc_id % 8 AS INT) + 1))"
+        ).alias("name")
+    )
+    return disco_pairs(names)
+
+
+# ---------------------------------------------------------------------------
+# Registration order is the driver's comparison order, and its CORRECTNESS
+# window covers the FIRST 50 entries of queries(). Two groups register last
+# (VERDICT r04 next-round #1):
+#   * 5 hash-capable queries that are long-green (driver rows in r01-r04)
+#     and operator-redundant with in-window rows — deferred so every newer
+#     operator gets a driver row; they keep their DuckDB twins and stay
+#     checked by tools/check_contract.py and pytest.
+#   * the 4 engine-native rows-only queries (oracle_sql=None), so the
+#     window contains only oracle-checkable entries.
+_DEFERRED = [
+    "q08_count_distinct",        # A3 also driver-covered by q30
+    "q10_union_distinct",        # U2; U1/U3/U4 covered by q18/q31/q06
+    "q12_events_hourly",         # A1/A2 also covered by q01/q16
+    "q25_label_centroid_dist",   # A5/A6 also covered by q01 + metrics
+    "q42_formatted_report",      # F2 cosmetic formatting op
+    "q26_minhash_candidates",    # rows-only: gate in tools/check_contract.py
+    "q33_ann_lsh_topk",          # rows-only: gate in tools/check_contract.py
+    "q50_ann_ivf_topk",          # rows-only: gate in tools/check_contract.py
+    "q57_semantic_dedup",        # rows-only: gate in tools/check_contract.py
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in REGISTRY if n not in _DEFERRED]
+    return head + [n for n in _DEFERRED if n in REGISTRY]
+
+
 def queries() -> dict[str, Builder]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
+    }

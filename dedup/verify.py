@@ -303,10 +303,18 @@ def ngram_set_expr(tok_array_col: str, n: int) -> str:
     )
 
 
+# forced-broadcast safety bound for flag_contaminated_ngrams: benchmark
+# sides whose total token count (>= their n-gram count) exceeds this are
+# NOT hinted — AQE decides from runtime stats instead. 250k 8-gram strings
+# ~ 25-50 MB broadcast, a sane ceiling for driver + executor heaps.
+BENCH_BROADCAST_TOKEN_CAP = 250_000
+
+
 def flag_contaminated_ngrams(
     corpus: DataFrame, benchmark: DataFrame, n: int = 8,
     id_col: str = "doc_id", text_col: str = "text",
     bench_id_col: str = "bench_id", bench_text_col: str = "fragment",
+    force_broadcast: bool | None = None,
 ) -> DataFrame:
     """Token-n-gram benchmark decontamination — the published LLM
     training-set recipe (GPT-3 appendix C / Llama 2: flag a training doc
@@ -322,6 +330,15 @@ def flag_contaminated_ngrams(
     the corpus n-gram stream is ever shuffled (the only exchange is the
     per-doc rollup over surviving hits). Both sides are pure Catalyst
     string/array expressions (ngram_set_expr): zero Python, zero UDFs.
+
+    force_broadcast: True hints the bench side unconditionally; None (the
+    default) hints it only when the benchmark's exact total token count (a
+    one-scan aggregate of the SMALL side, and an upper bound on its n-gram
+    count) is within BENCH_BROADCAST_TOKEN_CAP — a forced broadcast of an
+    oversized bench suite (or very long fragments) would bypass
+    autoBroadcastJoinThreshold and can OOM the driver. Above the cap no
+    hint is applied and AQE picks the strategy from runtime stats; False
+    never hints.
 
     Tokenization is lowercased whitespace split (the engine's q14/q45
     convention); rows with under n tokens cannot be flagged by definition.
@@ -340,8 +357,16 @@ def flag_contaminated_ngrams(
 
     bg = grams(benchmark, bench_id_col, bench_text_col, "bid").distinct()
     cg = grams(corpus, id_col, text_col, "cid")
+    if force_broadcast is None:
+        est = benchmark.where(F.col(bench_text_col).isNotNull()).agg(
+            F.coalesce(
+                F.sum(F.size(F.split(F.lower(F.col(bench_text_col)), " "))),
+                F.lit(0),
+            )
+        ).first()[0]
+        force_broadcast = int(est) <= BENCH_BROADCAST_TOKEN_CAP
     return (
-        cg.join(F.broadcast(bg), "gram")
+        cg.join(F.broadcast(bg) if force_broadcast else bg, "gram")
         .groupBy(F.col("cid").alias(id_col))
         .agg(
             F.countDistinct("bid").alias("n_bench_hits"),

@@ -100,20 +100,32 @@ def main() -> None:
                 kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
             )
             nprobe = args.nprobe if args.nprobe == "auto" else int(args.nprobe)
+            # connected_components roots clusters at the STRING-min id, and
+            # the keep flag compares ids as strings — zero-pad the numeric
+            # ids (19 digits covers any non-negative long, so string order
+            # == numeric order; e.g. cluster {2, 10} keeps doc 2, not 10)
+            # and map back to longs after. Same recipe as q57.
             asg = semantic_dedup(
-                emb, threshold=args.cosine_threshold, nprobe=nprobe,
+                emb.select(
+                    F.format_string("v%019d", F.col("vec_id")).alias("vec_id"),
+                    "embedding",
+                ),
+                threshold=args.cosine_threshold, nprobe=nprobe,
                 id_col="vec_id", vec_col="embedding",
+            ).select(
+                F.substring("vec_id", 2, 19).cast("long").alias("doc_id"),
+                F.substring("cluster_id", 2, 19).cast("long").alias("cluster_id"),
+                "keep",
             )
             # drop NON-exemplar members; docs WITHOUT an embedding row are
             # not semantic-dup evidence and survive (anti join on the drop
             # set, not inner join on the keep set). cluster_id rides along
             # for kept exemplars so downstream sees what each row represents.
             kept = kept.join(
-                asg.where(F.col("keep") == 0)
-                .select(F.col("vec_id").cast("long").alias("doc_id")),
+                asg.where(F.col("keep") == 0).select("doc_id"),
                 "doc_id", "left_anti",
             ).join(
-                asg.select(F.col("vec_id").cast("long").alias("doc_id"), "cluster_id"),
+                asg.select("doc_id", "cluster_id"),
                 "doc_id", "left",
             )
             metrics["after_semantic_dedup"] = kept.count()

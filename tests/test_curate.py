@@ -34,6 +34,14 @@ def _write(tmp_path):
     emb[2] = (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1])
     for i in range(10, 15):  # repetition spam: dup_word_frac ~0.95
         docs.append((i, " ".join(["spam"] * 20)))
+    # doc 15: clean text, embedding IDENTICAL to doc 4's -> semantic dup
+    # cluster {4, 15} spans id digit lengths: STRING-min is "15" but the
+    # numeric min is 4 — regression pin for the zero-padding in curate.py
+    # (unpadded ids would keep 15 and drop 4)
+    docs.append((15, " ".join(f"w15t{j}" for j in range(13))))
+    v15 = [0.0] * 8
+    v15[4 % 8] = 1.0
+    emb.append((15, [float(x) for x in v15]))
     d = str(tmp_path / "docs.parquet")
     e = str(tmp_path / "emb.parquet")
     b = str(tmp_path / "bench.parquet")
@@ -60,16 +68,20 @@ def test_curate_job_end_to_end(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     m = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
-    assert m["rows_in"] == 15
-    assert m["after_quality"] == 10            # 5 spam docs dropped
-    assert m["after_decontamination"] == 9     # doc 3 contaminated
-    assert m["after_semantic_dedup"] == 8      # doc 2 is doc 1's semantic dup
+    assert m["rows_in"] == 16
+    assert m["after_quality"] == 11            # 5 spam docs dropped
+    assert m["after_decontamination"] == 10    # doc 3 contaminated
+    assert m["after_semantic_dedup"] == 8      # dups of docs 1 and 4 dropped
     assert m["rows_out"] == 8
     got = pq.read_table(out).to_pydict()
     kept = sorted(got["doc_id"])
-    assert kept == [0, 1, 4, 5, 6, 7, 8, 9]    # min-id exemplar (1) kept, 2 dropped
+    # min-NUMERIC-id exemplars kept: 1 (not 2) and 4 (not 15 — the {4, 15}
+    # cluster is the digit-length trap: string-min would keep "15")
+    assert kept == [0, 1, 4, 5, 6, 7, 8, 9]
     # quality stats ride along; every kept exemplar carries its cluster id
     assert "dup_word_frac" in got and "cluster_id" in got
+    by_cluster = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert by_cluster[4] == 4 and by_cluster[1] == 1  # numeric, not padded
     # --redact-pii: doc 5's planted email is a placeholder in the output
     by_id = dict(zip(got["doc_id"], got["text"]))
     assert "<EMAIL>" in by_id[5] and "@example.com" not in by_id[5]

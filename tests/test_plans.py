@@ -162,8 +162,14 @@ def test_explode_udf_paths_are_single_eval(spark):
     c = _arrow_udf_counts(_plan(spark, "q29_winnow_substring_pass"))
     # one per short/long branch (raw is deliberately never materialized)
     assert c["_wf"] <= 2 and c["_minfp"] <= 2, c
-    c = _arrow_udf_counts(_plan(spark, "q39_caption_simhash_pairs"))
-    assert c["_sh"] == 2, c  # one per self-join side, not 4
+    # q39's signature moved from a pandas UDF to pure Catalyst in r05: the
+    # pin is now that NO Python eval exists anywhere in the plan. Expression
+    # duplication is bounded by structure (ph column + chunk-key expr, per
+    # self-join side = 4 signature evals — the single-pass aggregate form;
+    # the rejected 60-filter form inlined the md5 gram hashing 60x)
+    p39 = _plan(spark, "q39_caption_simhash_pairs")
+    assert "EvalPython" not in p39 and "ArrowEval" not in p39
+    assert p39.count("named_struct(cnt") <= 8, p39.count("named_struct(cnt")
 
 
 def test_repetition_filter_is_single_scan_no_shuffle(spark):

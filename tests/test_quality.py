@@ -90,6 +90,10 @@ def test_redact_pii_semantics(spark):
             (2, "call 555-123-4567 or 555-000-1111."),
             (3, "no pii here, 5551234567 is not formatted"),
             (4, None),
+            # phone-shaped email local part: the email replacement consumes
+            # it, so it must count as ONE email and ZERO phones — counts are
+            # placeholder counts (phones counted post-email-redaction)
+            (5, "write 555-123-4567@example.com maybe"),
         ],
         "doc_id int, text string",
     )
@@ -99,8 +103,10 @@ def test_redact_pii_semantics(spark):
     assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
     assert got[2]["redacted"] == "call <PHONE> or <PHONE>."
     assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
-    assert got[3]["redacted"] == got[3]["redacted"] == df.collect()[2]["text"]
+    assert got[3]["redacted"] == "no pii here, 5551234567 is not formatted"
     assert (got[3]["n_emails"], got[3]["n_phones"]) == (0, 0)
+    assert got[5]["redacted"] == "write <EMAIL> maybe"
+    assert (got[5]["n_emails"], got[5]["n_phones"]) == (1, 0)
 
 
 def test_redact_pii_plan_single_scan(spark):

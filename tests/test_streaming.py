@@ -501,7 +501,7 @@ def test_fuzzy_state_cfg_mismatch_refuses(spark, tmp_path):
 
 CAP_A = "a tabby cat sleeping on a warm windowsill in the golden afternoon sun beside a potted fern"
 CAP_B = "a tabby cat sleeping on a warm windowsill in the golden morning sun beside a potted fern"
-CAP_FAR = "a steam locomotive crossing a tall iron bridge above the river gorge at dawn"
+CAP_FAR = "quiet harbor boats resting under pale morning fog beside the old stone pier"
 
 
 def test_fuzzy_stream_links_near_dup_captions_across_batches(spark, tmp_path):

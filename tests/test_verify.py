@@ -189,3 +189,28 @@ def test_ngram_decontamination_plan_is_jvm_broadcast(spark):
     plan = flag_contaminated_ngrams(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_ngram_decontamination_broadcast_gate(spark, monkeypatch):
+    """The forced-broadcast hint is gated on the benchmark's exact token
+    count (ADVICE r04): an over-cap bench suite must NOT be force-broadcast
+    past autoBroadcastJoinThreshold — AQE decides instead. Results are
+    identical either way."""
+    import dedup.verify as V
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id int, text string")
+    bench = spark.createDataFrame([("b1", "a b c d e f g h")], "bench_id string, fragment string")
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # small bench (8 tokens <= cap): hinted
+    assert "ResolvedHint" in analyzed(V.flag_contaminated_ngrams(corpus, bench, n=8))
+    # shrink the cap below the bench's 8 tokens: hint must disappear
+    monkeypatch.setattr(V, "BENCH_BROADCAST_TOKEN_CAP", 4)
+    unhinted = V.flag_contaminated_ngrams(corpus, bench, n=8)
+    assert "ResolvedHint" not in analyzed(unhinted)
+    # explicit override still forces the hint, cap notwithstanding
+    forced = V.flag_contaminated_ngrams(corpus, bench, n=8, force_broadcast=True)
+    assert "ResolvedHint" in analyzed(forced)
+    assert sorted(map(tuple, unhinted.collect())) == sorted(map(tuple, forced.collect()))

@@ -49,52 +49,27 @@ def run_gates(spark, sf_dir: str, qs: dict) -> list[str]:
     """Brute-force gates for the no_oracle queries (the pytest assertions of
     tests/test_lsh_exactness.py / test_recall_documents.py, in-contract):
 
-      q39  chunk-pair SimHash pairs EQUAL all-pairs Hamming<=6 (pigeonhole
-           recall is exactly 1.0 — set equality, not a bound)
       q33  hyperplane-LSH pairs are a SUBSET of exact cosine>=0.4 (in-join
            verification => exact precision), recall >= 0.9 at the registered
            (bits=4, tables=24) config
       q26  LSH candidates cover >= 0.99 of exact-Jaccard>=0.7 caption pairs
            (BASELINE recall gate; banding miss prob ~1.5e-4/pair)
-    """
+
+    q39 no longer needs a gate here: since r05 its DuckDB twin computes the
+    SAME 60-bit signatures and takes the brute-force ALL-PAIRS Hamming join,
+    so the driver's hash comparison IS the set-exactness check (the numpy
+    simhash64 kernel keeps its own brute-force test in
+    tests/test_lsh_exactness.py)."""
     import numpy as np
 
     from dedup.config import DEFAULT
-    from dedup.reference_impl import _popcount  # the test oracle's own kernel
-    from dedup.signatures import shingle_hashes, simhash64
+    from dedup.signatures import shingle_hashes
 
     failures: list[str] = []
     docs = sorted(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text").collect()
     )
-
-    def hd64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return _popcount(a[:, None] ^ b[None, :])
-
-    # ---- q39: set exactness vs brute-force Hamming ----------------------
-    if "q39_caption_simhash_pairs" in qs:
-        t0 = time.time()
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in qs["q39_caption_simhash_pairs"](spark, sf_dir).collect()
-        }
-        sh = np.array(
-            [np.uint64(simhash64(t or "")).astype(np.int64) for _, t in docs],
-            dtype=np.int64,
-        ).astype(np.uint64)
-        d = hd64(sh, sh)
-        ii, jj = np.nonzero(d <= DEFAULT.hamming_threshold)
-        want = set()
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            if i < j:
-                a, b = str(docs[i]["doc_id"]), str(docs[j]["doc_id"])
-                want.add((a, b) if a < b else (b, a))
-        ok = got == want
-        print(f"{'ok  ' if ok else 'FAIL'} gate q39: set{'==' if ok else '!='}brute "
-              f"({len(got)} vs {len(want)} pairs) [{time.time() - t0:.1f}s]")
-        if not ok:
-            failures.append("gate_q39")
 
     # ---- q33: subset of exact + recall -----------------------------------
     if "q33_ann_lsh_topk" in qs:
