@@ -52,6 +52,7 @@ def batch_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     probe_id_col: str = "probe_id", probe_vec_col: str = "qe",
     exclude_self: bool = True,
+    max_pairs: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Exact cosine top-k for a whole PROBE TABLE at once — the reference's
     batch scoring of a test split (/root/reference/eridu/train/utils.py:153-235),
@@ -62,8 +63,29 @@ def batch_topk(
     expression, and the per-probe ranking is ROW_NUMBER over
     (cosine DESC, id ASC) — fully deterministic. Exact batch kNN inherently
     compares n_corpus x n_probes pairs; this is the correctness baseline.
-    The scale path for large probe sets is batch_topk_lsh (bucket-pruned)."""
+    The scale path for large probe sets is batch_topk_lsh (bucket-pruned).
+
+    Quadratic guard: when n_corpus x n_probes exceeds max_pairs the call
+    AUTO-ROUTES to batch_topk_lsh (bits="auto") and logs the switch — a big
+    probe table on the exact baseline is always a mistake at scale, and
+    silently running it would hold a 100 TB cluster hostage to one gemm-less
+    cross join. Pass max_pairs=None to force the exact path regardless."""
     from pyspark.sql import Window
+
+    if max_pairs is not None:
+        n_corpus, n_probes = embeddings.count(), probes.count()
+        if n_corpus * n_probes > max_pairs:
+            dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+            print(
+                f"[ann.batch_topk] {n_corpus} x {n_probes} = "
+                f"{n_corpus * n_probes} pairs > max_pairs={max_pairs}; "
+                "routing to batch_topk_lsh (approximate, bucket-pruned)"
+            )
+            return batch_topk_lsh(
+                embeddings, probes, dim=dim, k=k, bits="auto",
+                id_col=id_col, vec_col=vec_col,
+                probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+            )
 
     j = embeddings.join(
         F.broadcast(probes.select(probe_id_col, probe_vec_col)),

@@ -2,16 +2,21 @@
 Arrow-batched UDFs over mapInPandas.
 
 Images are fully real in this sandbox (pure-numpy codecs in imaging.py):
-decode, resize, feature-extract (pHash + mean-color). Audio/video decoding
-needs codec libraries that are NOT in this container, so those kernels are
-STUBS behind a deterministic fake (seeded from the payload hash) with the
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-real and tested. Swap `_decode_audio_stub`/`_sample_frames_stub` for
-soundfile/PyAV on a production cluster; nothing else changes."""
+decode, resize, feature-extract (pHash + mean-color). Audio is real for
+WAV/PCM payloads (stdlib `wave` — no third-party codec needed): decode to
+mono float32, then RMS / zero-crossing features. COMPRESSED audio (mp3/ogg)
+and video decoding need codec libraries that are NOT in this container, so
+those kernels are STUBS behind a deterministic fake (seeded from the payload
+hash) with the Spark-side plumbing — schema, partitioning, UDF signature,
+Arrow batch shape — real and tested. Swap `_decode_audio_stub` /
+`_sample_frames_stub` for soundfile/PyAV on a production cluster; nothing
+else changes."""
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pandas as pd
@@ -80,11 +85,57 @@ def image_features(images: DataFrame, thumb: int = 8) -> DataFrame:
     return images.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-# ------------------------------------------------------------- audio (stub)
+# ------------------------------------------------------------------- audio
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000, sampwidth: int = 2) -> bytes:
+    """Synthesize a RIFF/WAVE payload from float samples in [-1, 1] — the
+    audio analog of imaging's PNG emitter, so tests/synth can produce REAL
+    decodable bytes with only the stdlib. Mono or (n, channels) input."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    full = float(2 ** (8 * sampwidth - 1))
+    if sampwidth == 1:  # 8-bit WAV is unsigned, biased at 128
+        pcm = np.clip(np.rint(x * 127.0 + 128.0), 0, 255).astype("<u1")
+    elif sampwidth == 2:
+        pcm = np.clip(np.rint(x * (full - 1)), -full, full - 1).astype("<i2")
+    elif sampwidth == 4:
+        pcm = np.clip(np.rint(x * (full - 1)), -full, full - 1).astype("<i4")
+    else:
+        raise ValueError(f"unsupported sampwidth {sampwidth}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """REAL decoder for RIFF/WAVE PCM payloads — stdlib `wave` + numpy, no
+    third-party codec. Handles 8/16/32-bit PCM, any channel count; returns
+    mono float32 in [-1, 1] (channels averaged)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, sampwidth, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(nframes)
+    if sampwidth == 1:
+        x = np.frombuffer(raw, dtype="<u1").astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32)
 
 
 def _decode_audio_stub(data: bytes, n_samples: int = 4096) -> np.ndarray:
-    """STUB: no audio codecs in this container (no soundfile/librosa/ffmpeg).
+    """STUB for COMPRESSED audio only (no mp3/ogg codecs in this container).
     Deterministic fake: PCM synthesized from the payload's sha256 so the
     distributed plumbing is exercised end-to-end with stable outputs.
     Production: replace body with `soundfile.read(io.BytesIO(data))`."""
@@ -93,12 +144,20 @@ def _decode_audio_stub(data: bytes, n_samples: int = 4096) -> np.ndarray:
     return rng.standard_normal(n_samples).astype(np.float32)
 
 
+def decode_audio(data: bytes) -> np.ndarray:
+    """Route: RIFF/WAVE magic -> real PCM decode; anything else -> the
+    declared compressed-format stub."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    return _decode_audio_stub(data)
+
+
 def audio_features(media: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes") -> DataFrame:
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                pcm = _decode_audio_stub(bytes(data))
+                pcm = decode_audio(bytes(data))
                 rows.append(
                     {
                         "media_id": mid,

@@ -22,6 +22,49 @@ def test_image_features(spark, synth_parquet):
         assert (r["thumb_w"], r["thumb_h"]) == (8, 8)
 
 
+def test_wav_roundtrip_widths():
+    # encode -> decode is near-identity for every supported PCM width
+    t = np.arange(800) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    for sampwidth, tol in [(1, 1.0 / 120), (2, 1.0 / 30000), (4, 1e-7)]:
+        got = multimodal.decode_wav(multimodal.encode_wav(x, sampwidth=sampwidth))
+        assert got.dtype == np.float32 and got.shape == x.shape
+        assert np.abs(got - x).max() < tol
+
+
+def test_wav_stereo_downmix():
+    left = np.full(100, 0.5, dtype=np.float32)
+    right = np.full(100, -0.25, dtype=np.float32)
+    data = multimodal.encode_wav(np.stack([left, right], axis=1))
+    got = multimodal.decode_wav(data)
+    assert got.shape == (100,)
+    assert np.allclose(got, 0.125, atol=1e-3)  # channel mean
+
+
+def test_audio_features_real_wav_golden(spark):
+    """Golden values computed by a pure-Python oracle over the REAL decoded
+    samples — the codec-backed path, not the hash-seeded stub."""
+    ensure_shipped(spark)
+    n, rate, freq, amp = 1600, 16000, 440.0, 0.5
+    t = np.arange(n) / rate
+    sine = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    data = multimodal.encode_wav(sine, rate=rate, sampwidth=2)
+
+    # independent oracle: python loop over the decoded samples
+    dec = multimodal.decode_wav(data)
+    exp_rms = (sum(float(v) * float(v) for v in dec) / n) ** 0.5
+    exp_zc = sum(
+        1 for a, b in zip(dec[:-1], dec[1:]) if (a < 0) != (b < 0)
+    )
+    assert abs(exp_rms - amp / 2**0.5) < 1e-3  # sanity: sine RMS = amp/sqrt(2)
+
+    df = spark.createDataFrame([("w1", bytearray(data))], "media_id string, bytes binary")
+    row = multimodal.audio_features(df).collect()[0]
+    assert row["n_samples"] == n
+    assert abs(row["rms"] - exp_rms) < 1e-9
+    assert row["zero_crossings"] == exp_zc
+
+
 def test_audio_features_stub(spark):
     ensure_shipped(spark)
     rows = [("m1", b"payload-a"), ("m2", b"payload-b"), ("m3", b"payload-a")]

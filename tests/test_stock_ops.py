@@ -101,6 +101,30 @@ def test_batch_topk_matches_brute_force(spark):
         assert [vid for _, vid, _ in sorted(rows)] == want
 
 
+def test_batch_topk_quadratic_guard_routes(spark, capsys):
+    """A probe table big enough to trip max_pairs auto-routes to the
+    bucket-pruned LSH path (logged) instead of running the exact cross
+    join; max_pairs=None forces the exact baseline."""
+    from dedup.ann import batch_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    routed = batch_topk(e, probes, k=5, max_pairs=100)
+    assert "routing to batch_topk_lsh" in capsys.readouterr().out
+    rows = routed.collect()
+    # approximate path: per-probe row count is <= k, never more
+    per = {}
+    for r in rows:
+        per[r["probe_id"]] = per.get(r["probe_id"], 0) + 1
+    assert per and all(n <= 5 for n in per.values())
+    assert set(routed.columns) == {"probe_id", "vec_id", "rn", "cosine"}
+    # escape hatch: max_pairs=None always runs exact
+    exact = batch_topk(e, probes, k=5, max_pairs=None)
+    assert exact.count() == 10 * 5
+
+
 def test_batch_topk_lsh_recall(spark):
     """Bucket-pruned batch ANN: recall of the exact top-5 neighbour set is
     gated >= 0.9 at (bits=4, tables=32) on the test embeddings (measured
