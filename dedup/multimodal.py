@@ -4,11 +4,13 @@ Arrow-batched UDFs over mapInPandas.
 Images are fully real in this sandbox (pure-numpy codecs in imaging.py):
 decode, resize, feature-extract (pHash + mean-color). Audio is real for
 WAV/PCM payloads (stdlib `wave` — no third-party codec needed): decode to
-mono float32, then RMS / zero-crossing features. COMPRESSED audio (mp3/ogg)
-and video decoding need codec libraries that are NOT in this container, so
-those kernels are STUBS behind a deterministic fake (seeded from the payload
-hash) with the Spark-side plumbing — schema, partitioning, UDF signature,
-Arrow batch shape — real and tested. Swap `_decode_audio_stub` /
+mono float32, then RMS / zero-crossing features. Video is real for raw-DIB
+AVI payloads (RIFF container walked with stdlib struct: uncompressed BGR24
+frames -> RGB, evenly-spaced frame sampling). COMPRESSED audio (mp3/ogg)
+and compressed video need codec libraries that are NOT in this container,
+so those kernels are STUBS behind a deterministic fake (seeded from the
+payload hash) with the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — real and tested. Swap `_decode_audio_stub` /
 `_sample_frames_stub` for soundfile/PyAV on a production cluster; nothing
 else changes."""
 
@@ -171,13 +173,93 @@ def audio_features(media: DataFrame, id_col: str = "media_id", bytes_col: str = 
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
-# ------------------------------------------------------------- video (stub)
+# ------------------------------------------------------------------- video
+
+
+def encode_avi_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Synthesize a RIFF/AVI payload with UNCOMPRESSED BGR24 DIB frames
+    ('00db' chunks) — the video analog of encode_wav: real decodable bytes
+    from stdlib struct + numpy only. All frames must share one (h, w, 3)
+    uint8 shape. Raw AVI is the one video container expressible without a
+    codec; compressed formats stay behind the declared stub."""
+    import struct
+
+    fr = [np.ascontiguousarray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    h, w = fr[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in fr):
+        raise ValueError("all frames must share one (h, w, 3) uint8 shape")
+    row = (w * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+
+    def dib(f: np.ndarray) -> bytes:
+        bgr = f[::-1, :, ::-1]  # bottom-up row order, BGR channel order
+        buf = np.zeros((h, row), dtype=np.uint8)
+        buf[:, : w * 3] = bgr.reshape(h, w * 3)
+        return buf.tobytes()
+
+    def ck(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return ck(b"LIST", kind + payload)
+
+    frame_bytes = h * row
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(fr), 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(fr), frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", ck(b"avih", avih) + lst(b"strl", ck(b"strh", strh) + ck(b"strf", strf)))
+    movi = lst(b"movi", b"".join(ck(b"00db", dib(f)) for f in fr))
+    return ck(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_frames(data: bytes) -> list[np.ndarray]:
+    """REAL decoder for raw-DIB AVI payloads: walks the RIFF chunk tree,
+    reads the stream's BITMAPINFOHEADER (24-bit, BI_RGB only), and decodes
+    every '..db'/'..dc' movi chunk to an (h, w, 3) uint8 RGB frame."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    dims: list[tuple[int, int, int]] = []
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body0, body1 = pos + 8, pos + 8 + size
+            if fourcc == b"LIST":
+                walk(buf, body0 + 4, body1)
+            elif fourcc == b"strf" and not dims:
+                w, h = struct.unpack("<ii", buf[body0 + 4 : body0 + 12])
+                bits, comp = struct.unpack("<HI", buf[body0 + 14 : body0 + 20])
+                if bits != 24 or comp != 0:
+                    raise ValueError(f"unsupported AVI pixel format (bits={bits}, compression={comp})")
+                dims.append((w, abs(h), h))
+            elif fourcc[2:4] in (b"db", b"dc") and dims:
+                w, h, raw_h = dims[0]
+                row = (w * 3 + 3) & ~3
+                px = np.frombuffer(buf[body0:body1], dtype=np.uint8)[: h * row].reshape(h, row)
+                bgr = px[:, : w * 3].reshape(h, w, 3)
+                if raw_h > 0:  # positive biHeight = bottom-up rows
+                    bgr = bgr[::-1]
+                frames.append(np.ascontiguousarray(bgr[:, :, ::-1]))  # BGR -> RGB
+            pos = body1 + (size & 1)
+
+    walk(data, 12, len(data))
+    if not dims:
+        raise ValueError("AVI payload has no stream format header")
+    return frames
 
 
 def _sample_frames_stub(data: bytes, n_frames: int, size: int = 32) -> list[np.ndarray]:
-    """STUB: no video codecs in this container (no PyAV/opencv/ffmpeg).
-    Deterministic fake frames seeded from the payload hash + frame index.
-    Production: replace body with PyAV keyframe sampling."""
+    """STUB for COMPRESSED video only (no PyAV/opencv/ffmpeg in this
+    container). Deterministic fake frames seeded from the payload hash +
+    frame index. Production: replace body with PyAV keyframe sampling."""
     out = []
     base = hashlib.sha256(data).digest()
     for i in range(n_frames):
@@ -185,6 +267,19 @@ def _sample_frames_stub(data: bytes, n_frames: int, size: int = 32) -> list[np.n
         rng = np.random.default_rng(seed)
         out.append(rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8))
     return out
+
+
+def sample_frames(data: bytes, n_frames: int) -> list[np.ndarray]:
+    """Route: RIFF/AVI magic -> real raw-DIB decode with evenly-spaced frame
+    sampling (first/last always included); anything else -> the declared
+    compressed-format stub."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        frames = decode_avi_frames(data)
+        if len(frames) <= n_frames:
+            return frames
+        idx = np.linspace(0, len(frames) - 1, n_frames).round().astype(int)
+        return [frames[i] for i in idx]
+    return _sample_frames_stub(data, n_frames)
 
 
 def video_frame_phashes(
@@ -196,7 +291,7 @@ def video_frame_phashes(
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                for i, frame in enumerate(_sample_frames_stub(bytes(data), n_frames)):
+                for i, frame in enumerate(sample_frames(bytes(data), n_frames)):
                     rows.append(
                         {
                             "media_id": mid,

@@ -77,6 +77,46 @@ def test_audio_features_stub(spark):
     assert all(r["n_samples"] == 4096 for r in out.values())
 
 
+def test_avi_roundtrip_exact():
+    # raw-DIB AVI encode -> decode is pixel-exact, incl. odd widths (row padding)
+    rng = np.random.default_rng(7)
+    for w in (32, 33):  # 33*3=99 bytes/row -> 1-byte DIB pad exercised
+        frames = [rng.integers(0, 256, size=(24, w, 3), dtype=np.uint8) for _ in range(5)]
+        got = multimodal.decode_avi_frames(multimodal.encode_avi_raw(frames))
+        assert len(got) == 5
+        for a, b in zip(frames, got):
+            assert a.shape == b.shape and np.array_equal(a, b)
+
+
+def test_sample_frames_even_spacing_and_route():
+    frames = [np.full((16, 16, 3), i * 10, dtype=np.uint8) for i in range(9)]
+    data = multimodal.encode_avi_raw(frames)
+    got = multimodal.sample_frames(data, 3)
+    # evenly spaced: first, middle, last of the 9 frames
+    assert [int(f[0, 0, 0]) for f in got] == [0, 40, 80]
+    # fewer frames than requested: return all, no padding
+    short = multimodal.encode_avi_raw(frames[:2])
+    assert len(multimodal.sample_frames(short, 5)) == 2
+    # non-AVI payload routes to the declared stub (deterministic fake)
+    stub = multimodal.sample_frames(b"not-a-riff-payload", 3)
+    assert len(stub) == 3 and stub[0].shape == (32, 32, 3)
+
+
+def test_video_frame_phashes_real_avi_golden(spark):
+    """pHashes computed through the Spark kernel on a REAL decoded AVI equal
+    the pHashes of the original frames at the sampled indices."""
+    ensure_shipped(spark)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8) for _ in range(7)]
+    data = multimodal.encode_avi_raw(frames)
+    df = spark.createDataFrame([("v1", bytearray(data))], "media_id string, bytes binary")
+    got = {r["frame_idx"]: r["frame_phash"] for r in multimodal.video_frame_phashes(df, n_frames=3).collect()}
+    want_idx = [0, 3, 6]  # linspace(0, 6, 3)
+    for out_i, src_i in enumerate(want_idx):
+        expect = imaging.phash_to_signed64(imaging.phash64(frames[src_i]))
+        assert got[out_i] == expect
+
+
 def test_video_frames_stub(spark):
     ensure_shipped(spark)
     df = spark.createDataFrame([("v1", b"vid-a"), ("v2", b"vid-a")], "media_id string, bytes binary")
