@@ -142,7 +142,20 @@ def exact_member_edges(
             F.lit(1.0).alias("score"),
         )
 
-    plain = edge(exploded.join(mins, ["kind", "k"]), "id_a")
+    # deliberate join strategy (guide §3.1): mins has at most 3x corpus_rows
+    # slim rows, so when the caller KNOWS the corpus is small the join-back
+    # broadcasts instead of shuffling the exploded table — AQE won't do this
+    # itself (the post-agg size estimate of mins sits above the 10 MB auto
+    # threshold long before the broadcast actually hurts). 200k rows ->
+    # <=600k mins rows, tens of MB built once: safely inside the driver and
+    # executor heaps; above the bound (and whenever the count is unknown)
+    # the sort-merge join-back stands — that is the 100 TB shape.
+    mins_side = (
+        F.broadcast(mins)
+        if corpus_rows is not None and corpus_rows <= 200_000
+        else mins
+    )
+    plain = edge(exploded.join(mins_side, ["kind", "k"]), "id_a")
     if corpus_rows is not None and corpus_rows < hot_key_rows:
         return plain  # no key can be hot: zero detection jobs
 
@@ -461,15 +474,31 @@ class Pipeline:
             uniq = keys.groupBy("caption").agg(F.min("image_id").alias("rep_id")).repartition(dp * 2)
             return lsh.with_shingles(lsh.with_minhash(uniq, "caption", cfg), "caption", cfg)
 
-        sigs = self._stage(spark, "signatures", build_sigs, deps=("keys",))
+        sigs = self._stage(
+            spark, "signatures", build_sigs, deps=("keys",),
+            # max caption length rides the write job (zero extra passes):
+            # substring_edges uses it to omit the guaranteed-empty suffix-
+            # array branch when no container can reach the SA threshold
+            observe_cols={
+                "max_caption_len": F.coalesce(
+                    F.max(F.length("caption")), F.lit(0)
+                )
+            },
+        )
 
         # ---- stage: substring edges — needs only `signatures` -------------
+        # pre-deps manifests (resumed warehouses) lack the observation ->
+        # None -> substring_edges keeps both verify branches (always correct)
+        max_cap_len = (self.wh.manifest("signatures") or {}).get(
+            "observed", {}
+        ).get("max_caption_len")
         t_substr = _spawn(
             "edges_substring",
             lambda: self._stage(
                 spark, "edges_substring",
                 lambda: verify.substring_edges(
-                    sigs.select("rep_id", "caption"), "rep_id", "caption", cfg
+                    sigs.select("rep_id", "caption"), "rep_id", "caption", cfg,
+                    max_container_len=max_cap_len,
                 ),
                 deps=("signatures",),
             ),
@@ -493,8 +522,14 @@ class Pipeline:
                 group_names.append(f"scored_minhash_b{lo:02d}_{hi:02d}")
 
                 def build_scored(lo=lo, hi=hi):
+                    # persist=False: sigs is the committed signatures stage
+                    # (parquet) — recomputing the slim explode per consumer
+                    # beats building + re-reading a cached columnar copy of
+                    # the shingle arrays (r06 measurement; hard_cap re-enables
+                    # the cache inside minhash_scored_band)
                     pairs, skew, banded = lsh.minhash_scored_band(
-                        sigs, "rep_id", cfg, lo, hi, sample_mod=cfg.metrics_inter_sample_mod
+                        sigs, "rep_id", cfg, lo, hi,
+                        sample_mod=cfg.metrics_inter_sample_mod, persist=False,
                     )
                     live_caches.append(banded)
                     stats = {

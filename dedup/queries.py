@@ -656,8 +656,18 @@ def q26(spark, sf):
 
     ensure_shipped(spark)
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("rep_id"), F.col("text").alias("caption"))
+    # a single small parquet file scans as ONE partition, serializing the
+    # minhash UDF on one core (r06 profile: 2.0s -> 0.2s of UDF wall at 32
+    # cores); repartition only when the scan is actually under-parallel
+    dp = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < dp:
+        d = d.repartition(dp)
+    # persist=False: the banded explode recomputes per join side (cheap JVM
+    # work over the repartitioned UDF output) instead of paying the cache
+    # build + columnar read-back; the skew frame is unused here so nothing
+    # else consumes the lineage
     sigs = lsh.with_minhash(d, "caption")
-    pairs, _, _ = lsh.minhash_candidates(sigs, "rep_id")
+    pairs, _, _ = lsh.minhash_candidates(sigs, "rep_id", persist=False)
     return pairs
 
 
@@ -781,7 +791,15 @@ def q29(spark, sf):
         F.substring("caption", 11, 60).alias("caption"),
     )
     corpus = d.select("rep_id", "caption").union(frag)
-    return verify.substring_edges(corpus, "rep_id", "caption")
+    # the corpus is BOUNDED by construction (doc_id < 400 plus <=60-char
+    # fragments), so one tiny agg resolves the max container length and
+    # lets substring_edges drop the suffix-array branch from the plan when
+    # no doc can reach it (r06: ~1.3s of empty stages otherwise); the
+    # fragment side is substrings of the doc side, so the doc max dominates
+    max_len = d.agg(F.max(F.length("caption"))).first()[0] or 0
+    return verify.substring_edges(
+        corpus, "rep_id", "caption", max_container_len=max(max_len, 60)
+    )
 
 
 # =====================================================================

@@ -136,6 +136,7 @@ def substring_hits_in_container(container: str, needles: list[str]) -> list[bool
 def substring_edges(
     captions_df: DataFrame, id_col: str = "rep_id", caption_col: str = "caption",
     cfg: DedupConfig = DEFAULT, sa_min_container_len: int = 2048,
+    max_container_len: int | None = None,
 ) -> DataFrame:
     """Suffix-array substring pass over unique captions.
 
@@ -158,7 +159,8 @@ def substring_edges(
     src = captions_df.select(id_col, caption_col)
     pairs = (
         _containment_hits(src, src, id_col, caption_col, cfg,
-                          sa_min_container_len, exclude_self=True)
+                          sa_min_container_len, exclude_self=True,
+                          max_container_len=max_container_len)
         .select(F.least("cid", "fid").alias("id_a"), F.greatest("cid", "fid").alias("id_b"))
         .distinct()
     )
@@ -171,6 +173,7 @@ def _containment_hits(
     containers_src: DataFrame, fragments_src: DataFrame,
     id_col: str, text_col: str, cfg: DedupConfig,
     sa_min_container_len: int, exclude_self: bool,
+    max_container_len: int | None = None,
 ) -> DataFrame:
     """(cid, fid) pairs where the fragment row's text occurs inside the
     container row's text (both lowercased). The shared core of the self-join
@@ -180,7 +183,16 @@ def _containment_hits(
 
     Lossless for fragments of length >= cfg.substr_min_len: the fragment's
     minimum k-gram hash is winnow-selected in every container that contains
-    it (signatures.min_kgram_hash)."""
+    it (signatures.min_kgram_hash).
+
+    max_container_len: a caller-known upper bound on container text length
+    (e.g. observed for free on an upstream stage write). When it proves no
+    container can reach `sa_min_container_len`, the suffix-array branch is
+    omitted from the PLAN — the r06 profile measured ~1.3s of guaranteed-
+    empty dropDuplicates/applyInPandas/union stages per call on short-text
+    corpora (tools/profile_substr.py). None (the default) keeps both
+    branches: correct at any length, which is the only safe assumption at
+    scale."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _wf(s: pd.Series) -> pd.Series:
@@ -197,14 +209,23 @@ def _containment_hits(
     # short/long branches (PLANS.md r04 double-eval audit)
     _minfp = _minfp.asNondeterministic()
 
-    # explicit parallelism: AQE's byte-based coalescing would serialize the
-    # winnowing UDFs on small-but-compute-heavy caption tables
+    # explicit parallelism for the winnowing UDFs — but ONLY when the scan
+    # is actually under-parallel (a single small parquet file): the
+    # unconditional repartition(2*dp) of an already well-partitioned input
+    # cost ~2.5s of pure shuffle/stage overhead per call in the r06 profile
+    # (tools/profile_substr.py: short-branch 3.7s -> 1.3s without it). AQE's
+    # byte-based coalescing is still kept away from the UDF stage by the
+    # repartition when it IS needed (small files carry tiny byte sizes that
+    # AQE would serialize onto one task).
     dp = containers_src.sparkSession.sparkContext.defaultParallelism
 
     def norm(df):
-        return df.select(
+        out = df.select(
             F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("caption")
-        ).repartition(dp * 2)
+        )
+        if out.rdd.getNumPartitions() < dp:
+            out = out.repartition(dp)
+        return out
 
     containers = norm(containers_src).select(
         "id",
@@ -231,12 +252,16 @@ def _containment_hits(
             F.col("a.len").alias("c_len"),
         )
     )
-    # short containers: verify inline, pre-distinct (codegen instr)
-    short = (
-        raw.where(F.col("c_len") < sa_min_container_len)
-        .where(F.instr(F.col("c_cap"), F.col("f_cap")) > 0)
-        .select("cid", "fid")
+    sa_possible = (
+        max_container_len is None or max_container_len >= sa_min_container_len
     )
+    # short containers: verify inline, pre-distinct (codegen instr)
+    short = raw
+    if sa_possible:
+        short = short.where(F.col("c_len") < sa_min_container_len)
+    short = short.where(F.instr(F.col("c_cap"), F.col("f_cap")) > 0).select("cid", "fid")
+    if not sa_possible:
+        return short
     # long containers: dedup candidates, then per-container suffix array
     long_cand = raw.where(F.col("c_len") >= sa_min_container_len).dropDuplicates(["cid", "fid"])
     out_schema = T.StructType(
@@ -260,6 +285,7 @@ def flag_contaminated(
     id_col: str = "doc_id", text_col: str = "text",
     bench_id_col: str = "bench_id", bench_text_col: str = "fragment",
     cfg: DedupConfig = DEFAULT, sa_min_container_len: int = 2048,
+    max_container_len: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus rows whose text CONTAINS any
     benchmark fragment (lowercased, fragments >= cfg.substr_min_len chars —
@@ -278,6 +304,7 @@ def flag_contaminated(
         corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
         benchmark.select(F.col(bench_id_col).alias("id"), F.col(bench_text_col).alias("t")),
         "id", "t", cfg, sa_min_container_len, exclude_self=False,
+        max_container_len=max_container_len,
     )
     return (
         hits.groupBy(F.col("cid").alias(id_col))
