@@ -122,7 +122,14 @@ class Warehouse:
         observe_cols: extra named aggregate Columns to observe on the SAME
         write job (zero extra passes); their values land in the manifest
         under "observed" — how downstream stages get scalars about a
-        committed stage (e.g. the CC fast-path gate) without re-scanning."""
+        committed stage (e.g. the CC fast-path gate) without re-scanning.
+
+        extra values may be CALLABLES: they are resolved after the parquet
+        write completes, just before the manifest is serialized — a caller
+        can launch a side-statistics job on its own thread at build time
+        and pass a join-and-return thunk, overlapping the stats job with
+        the write instead of serializing ~1s ahead of it (r06: the LSH
+        band-group skew stats)."""
         path = self._dir(stage)
         # the row count is observed ON the write job — zero extra passes,
         # works on any filesystem (names are unique per (warehouse, write))
@@ -162,7 +169,7 @@ class Warehouse:
             # [] = a root stage with genuinely no stage inputs.
             **({"deps": sorted(deps)} if deps is not None else {}),
             **({"observed": observed} if observed else {}),
-            **(extra or {}),
+            **{k: (v() if callable(v) else v) for k, v in (extra or {}).items()},
         }
         write_json_atomic(self.fs, self._manifest_path(stage), man)
         self._append_lineage(man)

@@ -489,9 +489,8 @@ class Pipeline:
         # ---- stage: substring edges — needs only `signatures` -------------
         # pre-deps manifests (resumed warehouses) lack the observation ->
         # None -> substring_edges keeps both verify branches (always correct)
-        max_cap_len = (self.wh.manifest("signatures") or {}).get(
-            "observed", {}
-        ).get("max_caption_len")
+        sig_man = self.wh.manifest("signatures") or {}
+        max_cap_len = sig_man.get("observed", {}).get("max_caption_len")
         t_substr = _spawn(
             "edges_substring",
             lambda: self._stage(
@@ -499,6 +498,7 @@ class Pipeline:
                 lambda: verify.substring_edges(
                     sigs.select("rep_id", "caption"), "rep_id", "caption", cfg,
                     max_container_len=max_cap_len,
+                    approx_rows=sig_man.get("row_count"),
                 ),
                 deps=("signatures",),
             ),
@@ -532,11 +532,36 @@ class Pipeline:
                         sample_mod=cfg.metrics_inter_sample_mod, persist=False,
                     )
                     live_caches.append(banded)
-                    stats = {
-                        k: (float(v) if v is not None else None)
-                        for k, v in skew.collect()[0].asDict().items()
-                    }
-                    return pairs, {"skew": stats}
+
+                    # the skew-stats action runs on its OWN thread so it
+                    # overlaps the stage write (FAIR pools); the manifest
+                    # writer resolves the thunk after the parquet commit
+                    holder: dict = {}
+
+                    def collect_stats():
+                        try:
+                            spark.sparkContext.setLocalProperty(
+                                "spark.scheduler.pool", "skew_stats"
+                            )
+                            holder["stats"] = {
+                                k: (float(v) if v is not None else None)
+                                for k, v in skew.collect()[0].asDict().items()
+                            }
+                        except BaseException as e:  # surfaced at join time
+                            holder["err"] = e
+
+                    th = threading.Thread(
+                        target=collect_stats, name=f"skew-b{lo:02d}", daemon=True
+                    )
+                    th.start()
+
+                    def resolve():
+                        th.join()
+                        if "err" in holder:
+                            raise holder["err"]
+                        return holder["stats"]
+
+                    return pairs, {"skew": resolve}
 
                 group_dfs.append(
                     self._stage(spark, group_names[-1], build_scored,

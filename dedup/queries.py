@@ -798,7 +798,8 @@ def q29(spark, sf):
     # fragment side is substrings of the doc side, so the doc max dominates
     max_len = d.agg(F.max(F.length("caption"))).first()[0] or 0
     return verify.substring_edges(
-        corpus, "rep_id", "caption", max_container_len=max(max_len, 60)
+        corpus, "rep_id", "caption", max_container_len=max(max_len, 60),
+        approx_rows=800,  # doc_id < 400 on both union legs, by construction
     )
 
 

@@ -42,6 +42,13 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
 
     p = os.path.join(tempfile.gettempdir(), f"spark_warmup_{os.getpid()}.parquet")
     try:
+        # ship the dedup package FIRST: an addPyFile AFTER the worker pool
+        # has forked invalidates worker reuse, so the first real UDF query
+        # would re-pay the fork + pandas import it just warmed (measured
+        # ~4s on q26 in the r06 bench with the zip shipped lazily)
+        from . import deploy
+
+        deploy.ensure_shipped(spark)
         spark.range(0, 10_000, 1, cores).selectExpr(
             "id", "cast(id as string) s", "cast(id as double) d"
         ).write.mode("overwrite").parquet(p)
@@ -55,6 +62,10 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def _w(s: pd.Series) -> pd.Series:
             import numpy as np
+
+            # pull the shipped package into the worker interpreter too, so
+            # the first REAL signature UDF finds everything already imported
+            from dedup import signatures as _sig  # noqa: F401
 
             return pd.Series([np.arange(2, dtype=np.int64) for _ in s])
 

@@ -136,7 +136,7 @@ def substring_hits_in_container(container: str, needles: list[str]) -> list[bool
 def substring_edges(
     captions_df: DataFrame, id_col: str = "rep_id", caption_col: str = "caption",
     cfg: DedupConfig = DEFAULT, sa_min_container_len: int = 2048,
-    max_container_len: int | None = None,
+    max_container_len: int | None = None, approx_rows: int | None = None,
 ) -> DataFrame:
     """Suffix-array substring pass over unique captions.
 
@@ -160,7 +160,8 @@ def substring_edges(
     pairs = (
         _containment_hits(src, src, id_col, caption_col, cfg,
                           sa_min_container_len, exclude_self=True,
-                          max_container_len=max_container_len)
+                          max_container_len=max_container_len,
+                          approx_rows=approx_rows)
         .select(F.least("cid", "fid").alias("id_a"), F.greatest("cid", "fid").alias("id_b"))
         .distinct()
     )
@@ -173,7 +174,7 @@ def _containment_hits(
     containers_src: DataFrame, fragments_src: DataFrame,
     id_col: str, text_col: str, cfg: DedupConfig,
     sa_min_container_len: int, exclude_self: bool,
-    max_container_len: int | None = None,
+    max_container_len: int | None = None, approx_rows: int | None = None,
 ) -> DataFrame:
     """(cid, fid) pairs where the fragment row's text occurs inside the
     container row's text (both lowercased). The shared core of the self-join
@@ -218,12 +219,17 @@ def _containment_hits(
     # repartition when it IS needed (small files carry tiny byte sizes that
     # AQE would serialize onto one task).
     dp = containers_src.sparkSession.sparkContext.defaultParallelism
+    # approx_rows: caller-known row-count bound. A corpus of a few hundred
+    # rows gains nothing from spreading a ~0.1s UDF over dp tasks — the two
+    # repartition exchanges cost more than they save (r06 q29 profile), so
+    # the spread is skipped when the bound proves the table tiny.
+    tiny = approx_rows is not None and approx_rows < 16 * dp
 
     def norm(df):
         out = df.select(
             F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("caption")
         )
-        if out.rdd.getNumPartitions() < dp:
+        if not tiny and out.rdd.getNumPartitions() < dp:
             out = out.repartition(dp)
         return out
 
