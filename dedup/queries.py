@@ -2093,7 +2093,12 @@ def q55(spark, sf):
         F.format_string("b%05d", F.col("doc_id")).alias("bench_id"),
         F.array_join(F.slice(F.split(F.lower("text"), " "), 5, 20), " ").alias("fragment"),
     )
-    return flag_contaminated_ngrams(d.select("doc_id", "text"), bench, n=8)
+    # force_broadcast=True skips the token-count sizing job: the bench side
+    # is bounded by CONSTRUCTION (doc_id < 40, fragments sliced to <= 20
+    # words -> <= 800 tokens, far under BENCH_BROADCAST_TOKEN_CAP at any sf)
+    return flag_contaminated_ngrams(
+        d.select("doc_id", "text"), bench, n=8, force_broadcast=True
+    )
 
 
 _Q56_SQL = """
