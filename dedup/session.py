@@ -65,6 +65,8 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
 
             # pull the shipped package into the worker interpreter too, so
             # the first REAL signature UDF finds everything already imported
+            # (exercising the kernels themselves was A/B'd — no effect, the
+            # residual first-stage cost is not kernel lazy-init)
             from dedup import signatures as _sig  # noqa: F401
 
             return pd.Series([np.arange(2, dtype=np.int64) for _ in s])
