@@ -59,8 +59,7 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
         df.withColumn("g", F.col("id") % 7).join(F.broadcast(agg), "g", "left") \
             .write.format("noop").mode("overwrite").save()
 
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def _w(s: pd.Series) -> pd.Series:
+        def _w_fn(s):
             import numpy as np
 
             # pull the shipped package into the worker interpreter too, so
@@ -71,6 +70,17 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
 
             return pd.Series([np.arange(2, dtype=np.int64) for _ in s])
 
+        # real-object annotations, NOT `s: pd.Series` hints: this module has
+        # `from __future__ import annotations`, which turns hints into the
+        # STRING 'pd.Series'; pandas_udf resolves hint strings against the
+        # function's module globals, where pd (imported locally above) does
+        # not exist -> UNSUPPORTED_SIGNATURE at decoration time. That error
+        # was swallowed by the best-effort except below, so the UDF warmup
+        # silently never ran and the first real UDF query of every session
+        # re-paid the full worker fork + pandas import (~2-3s at 32 cores).
+        _w_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _w = F.pandas_udf(_w_fn, T.ArrayType(T.LongType()))
+
         # 2x cores partitions so every concurrent worker slot forks + imports
         spark.range(0, cores * 64, 1, cores * 2).selectExpr(
             "cast(id as string) s"
@@ -78,7 +88,13 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
             "overwrite"
         ).save()
     except Exception:
-        pass  # warmup is best-effort: a failure must never block real work
+        # warmup is best-effort: a failure must never block real work — but
+        # it must be DIAGNOSABLE (a silent failure here cost round 6 the
+        # whole UDF warmup); opt into the traceback when investigating
+        if os.environ.get("SPARK_GRAFT_WARMUP_DEBUG"):
+            import traceback
+
+            traceback.print_exc()
     finally:
         shutil.rmtree(p, ignore_errors=True)
 
