@@ -799,7 +799,12 @@ def q29(spark, sf):
     max_len = d.agg(F.max(F.length("caption"))).first()[0] or 0
     return verify.substring_edges(
         corpus, "rep_id", "caption", max_container_len=max(max_len, 60),
-        approx_rows=800,  # doc_id < 400 on both union legs, by construction
+        # tight bound by construction: <= 400 docs + <= ceil(400/7) = 58
+        # fragments = 458. The previous conservative 800 cleared the
+        # tiny-corpus threshold (16 * 32 cores = 512), so the UDF-spread
+        # repartition still ran — two exchanges that cost more than the
+        # ~0.1s winnow UDF they spread (measured: 1.65s -> 1.34s warm)
+        approx_rows=458,
     )
 
 
