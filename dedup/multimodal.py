@@ -185,6 +185,8 @@ def encode_avi_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
     import struct
 
     fr = [np.ascontiguousarray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    if not fr:
+        raise ValueError("encode_avi_raw needs at least one frame")
     h, w = fr[0].shape[:2]
     if any(f.shape != (h, w, 3) for f in fr):
         raise ValueError("all frames must share one (h, w, 3) uint8 shape")
@@ -227,6 +229,12 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
         raise ValueError("not a RIFF/AVI payload")
     dims: list[tuple[int, int, int]] = []
     frames: list[np.ndarray] = []
+    # fccType of the most recent strh chunk: an AVI may list its audio
+    # stream first, and an audio strf is a WAVEFORMATEX, not a
+    # BITMAPINFOHEADER — only the strf following a 'vids' strh may be
+    # parsed as the video format (ADVICE r05: the first-strf-in-file-order
+    # assumption misparsed audio-first files as "unsupported pixel format")
+    cur_stream: list[bytes] = [b""]
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -234,7 +242,9 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
             body0, body1 = pos + 8, pos + 8 + size
             if fourcc == b"LIST":
                 walk(buf, body0 + 4, body1)
-            elif fourcc == b"strf" and not dims:
+            elif fourcc == b"strh":
+                cur_stream[0] = buf[body0 : body0 + 4]
+            elif fourcc == b"strf" and cur_stream[0] == b"vids" and not dims:
                 w, h = struct.unpack("<ii", buf[body0 + 4 : body0 + 12])
                 bits, comp = struct.unpack("<HI", buf[body0 + 14 : body0 + 20])
                 if bits != 24 or comp != 0:

@@ -4,6 +4,7 @@ audio/video (codec libs absent in sandbox) with real Spark schema/batching."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from dedup import imaging, multimodal, synth
@@ -86,6 +87,41 @@ def test_avi_roundtrip_exact():
         assert len(got) == 5
         for a, b in zip(frames, got):
             assert a.shape == b.shape and np.array_equal(a, b)
+
+
+def test_avi_audio_first_stream_and_empty_frames():
+    # an AVI whose FIRST stream is audio (strf = WAVEFORMATEX) must still
+    # decode the video stream: only the strf following a 'vids' strh is a
+    # BITMAPINFOHEADER (ADVICE r05 — first-strf-in-file-order misparse)
+    import struct
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    data = bytearray(multimodal.encode_avi_raw(frames))
+
+    def ck(fourcc, payload):
+        return fourcc + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+
+    # splice an audio strl LIST ahead of the video one inside hdrl
+    auds_strh = ck(b"strh", struct.pack("<4s4s", b"auds", b"\x00\x00\x00\x00") + b"\x00" * 48)
+    auds_strf = ck(b"strf", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    audio_strl = ck(b"LIST", b"strl" + auds_strh + auds_strf)
+    i = bytes(data).index(b"LIST", 12, 200)  # hdrl LIST
+    j = bytes(data).index(b"strl")  # video strl payload start - 4
+    insert_at = j - 8  # before the video strl's enclosing LIST header
+    data[insert_at:insert_at] = audio_strl
+    # grow the two enclosing sizes (RIFF and hdrl LIST)
+    for pos in (4, i + 4):
+        (sz,) = struct.unpack("<I", data[pos : pos + 4])
+        data[pos : pos + 4] = struct.pack("<I", sz + len(audio_strl))
+    got = multimodal.decode_avi_frames(bytes(data))
+    assert len(got) == 2
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        multimodal.encode_avi_raw([])
 
 
 def test_sample_frames_even_spacing_and_route():
