@@ -114,7 +114,11 @@ def _driver_union_find(edges: DataFrame) -> tuple[DataFrame, int]:
     dd = np.concatenate([dst, src])
     o = np.argsort(ss, kind="stable")
     ss, dd = ss[o], dd[o]
-    seg_src, starts = np.unique(ss, return_index=True)
+    # ss is sorted: segment starts are the inequality flags — np.unique
+    # would pay a second O(n log n) sort for the same answer (measured
+    # 0.35s -> 0.01s at 5.3M adjacency rows, equality-checked)
+    starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+    seg_src = ss[starts]
     parent = np.arange(len(uniq_sorted), dtype=np.int32)
     for _ in range(200):
         prev = parent
